@@ -1,0 +1,140 @@
+"""Pre-LN streaming transformer stack, expressed as pure functions over stacked
+per-layer parameter pytrees (leading axis = layer) scanned with `lax.scan`.
+
+Mirrors the reference block structure (/root/reference/pocket_tts/modules/
+mimi_transformer.py:12-101): LN -> MHA -> (+LayerScale) residual, then
+LN -> Linear -> GELU(exact) -> Linear -> (+LayerScale) residual. Linears are
+bias-free; LayerNorm uses eps=1e-5 with affine params.
+
+Stacking layers lets one compiled `scan` body serve 6- and 24-layer variants and
+makes tensor-parallel sharding a matter of annotating the stacked leaves.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pocket_tts_tpu.nn.attention import KVCache, init_cache, mha_step
+
+Params = dict[str, Any]
+
+
+class TransformerConfig(NamedTuple):
+    d_model: int
+    num_heads: int
+    num_layers: int
+    dim_feedforward: int
+    context: int | None = None
+    max_period: float = 10_000.0
+    layer_scale: float | None = None
+
+
+class StackState(NamedTuple):
+    """KV caches for all layers: k/v [L, B, C, H, Dh]; offset: scalar int32."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    offset: jnp.ndarray
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def init_stack_state(
+    cfg: TransformerConfig, batch_size: int, capacity: int, dtype=jnp.float32
+) -> StackState:
+    dh = cfg.d_model // cfg.num_heads
+    shape = (cfg.num_layers, batch_size, capacity, cfg.num_heads, dh)
+    return StackState(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        offset=jnp.zeros((), jnp.int32),
+    )
+
+
+def init_layer_params(cfg: TransformerConfig, key, dtype=jnp.float32) -> Params:
+    """Random init (fan-in uniform like torch Linear defaults); leaves stacked [L, ...]."""
+    L, D, F = cfg.num_layers, cfg.d_model, cfg.dim_feedforward
+    ks = jax.random.split(key, 4)
+
+    def unif(k, shape, fan_in):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(k, shape, dtype, -bound, bound)
+
+    params: Params = {
+        "in_proj": unif(ks[0], (L, 3 * D, D), D),
+        "out_proj": unif(ks[1], (L, D, D), D),
+        "norm1_scale": jnp.ones((L, D), dtype),
+        "norm1_bias": jnp.zeros((L, D), dtype),
+        "norm2_scale": jnp.ones((L, D), dtype),
+        "norm2_bias": jnp.zeros((L, D), dtype),
+        "w1": unif(ks[2], (L, F, D), D),
+        "w2": unif(ks[3], (L, D, F), F),
+    }
+    if cfg.layer_scale is not None:
+        params["ls1"] = jnp.full((L, D), cfg.layer_scale, dtype)
+        params["ls2"] = jnp.full((L, D), cfg.layer_scale, dtype)
+    return params
+
+
+def _layer_step(
+    cfg: TransformerConfig,
+    x: jnp.ndarray,
+    p: Params,
+    cache: KVCache,
+    offset: jnp.ndarray,
+    ring: bool,
+) -> tuple[jnp.ndarray, KVCache]:
+    h = layer_norm(x, p["norm1_scale"], p["norm1_bias"])
+    attn_out, cache = mha_step(
+        p["in_proj"],
+        p["out_proj"],
+        h,
+        cache,
+        offset,
+        num_heads=cfg.num_heads,
+        context=cfg.context,
+        max_period=cfg.max_period,
+        ring=ring,
+    )
+    if "ls1" in p:
+        attn_out = attn_out * p["ls1"]
+    x = x + attn_out
+    h = layer_norm(x, p["norm2_scale"], p["norm2_bias"])
+    ff = jax.nn.gelu(h @ p["w1"].T, approximate=False) @ p["w2"].T
+    if "ls2" in p:
+        ff = ff * p["ls2"]
+    return x + ff, cache
+
+
+def transformer_apply(
+    cfg: TransformerConfig,
+    params: Params,
+    x: jnp.ndarray,
+    state: StackState,
+    *,
+    ring: bool = False,
+    increment: int | None = None,
+) -> tuple[jnp.ndarray, StackState]:
+    """Run the full stack on x: [B, T, D], updating every layer's cache.
+
+    `increment`: how far to advance the shared offset (true length of x when the
+    input is right-padded; defaults to T).
+    """
+    T = x.shape[1]
+
+    def body(carry, xs):
+        h = carry
+        p, ck, cv = xs
+        h, cache = _layer_step(cfg, h, p, KVCache(ck, cv), state.offset, ring)
+        return h, (cache.k, cache.v)
+
+    h, (new_k, new_v) = jax.lax.scan(body, x, (params, state.k, state.v))
+    inc = T if increment is None else increment
+    return h, StackState(k=new_k, v=new_v, offset=state.offset + inc)
