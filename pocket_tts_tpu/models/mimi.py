@@ -1,0 +1,213 @@
+"""Mimi-style neural codec: SEANet encoder/decoder + windowed transformers +
+frame-rate resamplers, as pure jit-able functions.
+
+Re-designs /root/reference/pocket_tts/models/mimi.py for TPU:
+* `encode_to_latent` — one-shot (voice cloning): wav [B,1,T] -> latents
+  [B, inner_dim, T/1920] (mimi.py:96-119).
+* `decoder_step`  — streaming: one 12.5 Hz latent frame -> 16 codec steps ->
+  1920 samples of 24 kHz audio (mimi.py:89-94), with every piece of streaming
+  state (conv left-contexts, conv-transpose overlap tails, transformer ring KV
+  caches) carried in one explicit pytree.
+
+The decoder transformer uses a ring KV cache sized to its 250-step sliding
+window instead of the reference's full-sequence linear cache, making the
+per-frame state O(context) and the whole step compilable once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from pocket_tts_tpu.config import MimiConfig
+from pocket_tts_tpu.nn.conv import (
+    ConvSpec,
+    ConvTrSpec,
+    conv1d_step,
+    conv_transpose1d_step,
+    get_extra_padding_for_conv1d,
+    init_conv_params,
+    init_conv_tr_state,
+)
+from pocket_tts_tpu.nn.seanet import (
+    SEANetArch,
+    SEANetSpec,
+    decoder_spec,
+    encoder_spec,
+    init_seanet_params,
+    init_seanet_state,
+    seanet_apply,
+)
+from pocket_tts_tpu.nn.transformer import (
+    StackState,
+    TransformerConfig,
+    init_layer_params,
+    init_stack_state,
+    transformer_apply,
+)
+
+RING_SLACK = 32  # ring capacity beyond the attention window
+
+
+@dataclass(frozen=True)
+class MimiSpecs:
+    arch: SEANetArch
+    encoder: SEANetSpec
+    decoder: SEANetSpec
+    transformer: TransformerConfig
+    quantizer_dim: int  # latent dim (32)
+    quantizer_out_dim: int  # seanet dimension (512)
+    inner_dim: int
+    outer_dim: int
+    sample_rate: int
+    frame_rate: float
+    downsample_stride: int  # encoder_frame_rate / frame_rate (16)
+
+    @property
+    def encoder_frame_rate(self) -> float:
+        return self.sample_rate / self.hop_length
+
+    @property
+    def hop_length(self) -> int:
+        n = 1
+        for r in self.arch.ratios:
+            n *= r
+        return n
+
+    @property
+    def frame_size(self) -> int:
+        return int(self.sample_rate / self.frame_rate)
+
+    @property
+    def downsample_spec(self) -> ConvSpec:
+        s = self.downsample_stride
+        return ConvSpec(self.arch.dimension, self.inner_dim, 2 * s, stride=s,
+                        pad_mode="replicate")
+
+    @property
+    def upsample_spec(self) -> ConvTrSpec:
+        s = self.downsample_stride
+        return ConvTrSpec(self.outer_dim, self.arch.dimension, 2 * s, stride=s,
+                          groups=self.arch.dimension)
+
+    @property
+    def quantizer_spec(self) -> ConvSpec:
+        return ConvSpec(self.quantizer_dim, self.quantizer_out_dim, 1)
+
+
+def build_mimi_specs(cfg: MimiConfig) -> MimiSpecs:
+    arch = SEANetArch(
+        channels=cfg.seanet.channels,
+        dimension=cfg.seanet.dimension,
+        n_filters=cfg.seanet.n_filters,
+        n_residual_layers=cfg.seanet.n_residual_layers,
+        ratios=tuple(cfg.seanet.ratios),
+        kernel_size=cfg.seanet.kernel_size,
+        last_kernel_size=cfg.seanet.last_kernel_size,
+        residual_kernel_size=cfg.seanet.residual_kernel_size,
+        dilation_base=cfg.seanet.dilation_base,
+        pad_mode=cfg.seanet.pad_mode,
+        compress=cfg.seanet.compress,
+    )
+    tcfg = TransformerConfig(
+        d_model=cfg.transformer.d_model,
+        num_heads=cfg.transformer.num_heads,
+        num_layers=cfg.transformer.num_layers,
+        dim_feedforward=cfg.transformer.dim_feedforward,
+        context=cfg.transformer.context,
+        max_period=cfg.transformer.max_period,
+        layer_scale=cfg.transformer.layer_scale,
+    )
+    hop = 1
+    for r in arch.ratios:
+        hop *= r
+    encoder_frame_rate = cfg.sample_rate / hop
+    stride = int(encoder_frame_rate / cfg.frame_rate)
+    return MimiSpecs(
+        arch=arch,
+        encoder=encoder_spec(arch),
+        decoder=decoder_spec(arch),
+        transformer=tcfg,
+        quantizer_dim=cfg.quantizer.dimension,
+        quantizer_out_dim=cfg.quantizer.output_dimension,
+        inner_dim=cfg.inner_dim or cfg.seanet.dimension,
+        outer_dim=cfg.outer_dim or cfg.seanet.dimension,
+        sample_rate=cfg.sample_rate,
+        frame_rate=cfg.frame_rate,
+        downsample_stride=stride,
+    )
+
+
+def init_mimi_params(specs: MimiSpecs, key, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 7)
+    return {
+        "encoder": init_seanet_params(specs.encoder, ks[0], dtype),
+        "decoder": init_seanet_params(specs.decoder, ks[1], dtype),
+        "encoder_transformer": init_layer_params(specs.transformer, ks[2], dtype),
+        "decoder_transformer": init_layer_params(specs.transformer, ks[3], dtype),
+        "quantizer_out_proj": init_conv_params(specs.quantizer_spec, ks[4], dtype, bias=False),
+        "downsample": init_conv_params(specs.downsample_spec, ks[5], dtype, bias=False),
+        "upsample": init_conv_params(specs.upsample_spec, ks[6], dtype, bias=False),
+    }
+
+
+def init_decoder_state(specs: MimiSpecs, batch_size: int, dtype=jnp.float32) -> dict:
+    cap = (specs.transformer.context or 256) + specs.downsample_stride + RING_SLACK
+    return {
+        "upsample": init_conv_tr_state(specs.upsample_spec, batch_size, dtype),
+        "transformer": init_stack_state(specs.transformer, batch_size, cap, dtype),
+        "decoder": init_seanet_state(specs.decoder, batch_size, dtype),
+    }
+
+
+def encode_to_latent(specs: MimiSpecs, params: dict, audio: jnp.ndarray) -> jnp.ndarray:
+    """Wav [B, 1, T] -> continuous latents [B, inner_dim, ceil(T/1920)]. One-shot.
+
+    Matches reference mimi.py:96-119: pad to a whole frame, SEANet encode,
+    windowed transformer over the whole sequence, strided downsample to 12.5 Hz.
+    """
+    fs = specs.frame_size
+    pad = get_extra_padding_for_conv1d(audio.shape[-1], fs, fs)
+    if pad:
+        audio = jnp.pad(audio, ((0, 0), (0, 0), (0, pad)))
+    emb, _ = seanet_apply(specs.encoder, params["encoder"], audio, None)
+    # one-shot transformer: linear cache over the full sequence
+    B, C, S = emb.shape
+    tstate = init_stack_state(specs.transformer, B, S, emb.dtype)
+    out, _ = transformer_apply(
+        specs.transformer, params["encoder_transformer"], emb.transpose(0, 2, 1), tstate
+    )
+    emb = out.transpose(0, 2, 1)
+    latent, _ = conv1d_step(emb, specs.downsample_spec, params["downsample"], None)
+    return latent
+
+
+def decoder_step(
+    specs: MimiSpecs,
+    params: dict,
+    latent: jnp.ndarray,
+    state: dict,
+) -> tuple[jnp.ndarray, dict]:
+    """One streaming decode: projected latents [B, outer_dim, T_f] -> audio
+    [B, 1, T_f*16*hop] (1920 samples per frame) and the updated state."""
+    x, up_state = conv_transpose1d_step(
+        latent, specs.upsample_spec, params["upsample"], state["upsample"]
+    )
+    out, tstate = transformer_apply(
+        specs.transformer,
+        params["decoder_transformer"],
+        x.transpose(0, 2, 1),
+        state["transformer"],
+        ring=True,
+    )
+    x = out.transpose(0, 2, 1)
+    audio, dec_state = seanet_apply(specs.decoder, params["decoder"], x, state["decoder"])
+    return audio, {"upsample": up_state, "transformer": tstate, "decoder": dec_state}
+
+
+def project_latent(specs: MimiSpecs, params: dict, latent: jnp.ndarray) -> jnp.ndarray:
+    """DummyQuantizer output projection (dummy_quantizer.py:15-18): [B,ldim,T]->[B,512,T]."""
+    y, _ = conv1d_step(latent, specs.quantizer_spec, params["quantizer_out_proj"], None)
+    return y
