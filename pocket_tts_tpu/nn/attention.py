@@ -4,15 +4,18 @@ TPU-native re-design of the reference attention (/root/reference/pocket_tts/modu
 transformer.py:87-158):
 
 * The cache is a fixed-shape array pair (k, v) of capacity C; new keys/values are
-  written with `lax.dynamic_update_slice` at the current offset. No NaN sentinels —
-  validity is a pure function of absolute positions.
+  written with per-row `lax.dynamic_update_slice` at each row's offset. No NaN
+  sentinels — validity is a pure function of absolute positions.
 * The mask reproduces the reference semantics exactly (`_build_attention_mask`,
   transformer.py:22-29): key valid iff pos_k >= 0 and 0 <= pos_q - pos_k (< context
   when a sliding window is configured).
+* Offsets are per-row ([B] int32) — unlike the reference, which asserts equal
+  offsets across the batch (transformer.py:12-14), a batch may mix utterances at
+  different stream positions (heterogeneous voices/texts in one compiled step).
 * Two cache layouts:
-  - linear: slot i holds absolute position i (FlowLM, full causal). pos_k == iota.
-  - ring:   slot i holds position `pos` array entry (Mimi, context-bounded);
-    capacity only needs to cover context + max write length.
+  - linear: slot i holds absolute position i (FlowLM, full causal).
+  - ring:   slot i holds position i mod C (Mimi, context-bounded); capacity only
+    needs to cover context + max write length.
 
 Right-padded prompts need no extra machinery: garbage written above the true
 length lands at positions > every later query position until overwritten, so the
@@ -27,6 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from pocket_tts_tpu.nn.linear import matmul_t
 from pocket_tts_tpu.nn.rope import apply_rope
 
 
@@ -44,11 +48,11 @@ def init_cache(
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
-def qkv_project(x: jnp.ndarray, in_proj: jnp.ndarray, num_heads: int):
+def qkv_project(x: jnp.ndarray, in_proj, num_heads: int):
     """x: [B, T, D], in_proj: [3D, D] (torch Linear layout). Returns q, k, v [B,T,H,Dh]."""
     B, T, D = x.shape
     dh = D // num_heads
-    projected = x @ in_proj.T  # [B, T, 3D]
+    projected = matmul_t(x, in_proj)  # [B, T, 3D]
     packed = projected.reshape(B, T, 3, num_heads, dh)
     return packed[:, :, 0], packed[:, :, 1], packed[:, :, 2]
 
@@ -61,17 +65,47 @@ def attend(
     pos_k: jnp.ndarray,
     context: int | None,
 ) -> jnp.ndarray:
-    """Masked SDPA. q: [B,T,H,Dh]; k/v: [B,C,H,Dh]; pos_q: [T]; pos_k: [C]."""
+    """Masked SDPA. q: [B,T,H,Dh]; k/v: [B,C,H,Dh]; pos_q: [B,T]; pos_k: [B,C]."""
     dh = q.shape[-1]
     scale = 1.0 / math.sqrt(dh)
     logits = jnp.einsum("bthd,bchd->bhtc", q, k) * scale
-    delta = pos_q[:, None] - pos_k[None, :]  # [T, C]
-    mask = (pos_k[None, :] >= 0) & (delta >= 0)
+    delta = pos_q[:, :, None] - pos_k[:, None, :]  # [B, T, C]
+    mask = (pos_k[:, None, :] >= 0) & (delta >= 0)
     if context is not None:
         mask = mask & (delta < context)
-    logits = jnp.where(mask[None, None], logits, jnp.finfo(logits.dtype).min)
+    logits = jnp.where(mask[:, None], logits, jnp.finfo(logits.dtype).min)
     weights = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhtc,bchd->bthd", weights, v)
+
+
+def _write_linear(cache: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    """Per-row dynamic_update_slice at each row's offset. cache: [B,C,H,Dh]."""
+    return jax.vmap(
+        lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0, 0))
+    )(cache, new, offset)
+
+
+def _write_ring(cache: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    """Wrap-around write: roll so the write slot lands at 0, write, roll back."""
+    C = cache.shape[1]
+
+    def one(c, n, o):
+        slot = jnp.mod(o, C)
+        rolled = jnp.roll(c, -slot, axis=0)
+        rolled = jax.lax.dynamic_update_slice(rolled, n, (0, 0, 0))
+        return jnp.roll(rolled, slot, axis=0)
+
+    return jax.vmap(one)(cache, new, offset)
+
+
+def ring_positions(offset: jnp.ndarray, T: int, capacity: int) -> jnp.ndarray:
+    """Absolute position per ring slot after writing T entries at `offset` [B].
+
+    Slot s holds the most recent position p < offset+T with p % C == s, or -1."""
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    total = (offset + T)[:, None]  # [B, 1]
+    last = total - 1 - jnp.mod(total - 1 - idx[None, :], capacity)
+    return jnp.where(last >= 0, last, -1)
 
 
 def mha_step(
@@ -88,9 +122,7 @@ def mha_step(
 ) -> tuple[jnp.ndarray, KVCache]:
     """One streaming attention call: project, rope, write cache, attend, project out.
 
-    x: [B, T, D]; offset: scalar int32 — absolute position of x[:, 0].
-    With `ring=True` the write index wraps modulo capacity (context-bounded
-    attention only); otherwise writes are linear and capacity bounds total length.
+    x: [B, T, D]; offset: [B] int32 — absolute position of x[:, 0] per row.
     """
     B, T, D = x.shape
     C = cache.k.shape[1]
@@ -98,27 +130,15 @@ def mha_step(
     q, k = apply_rope(q, k, offset=offset, max_period=max_period)
 
     if ring:
-        slot = jnp.mod(offset, C)
-        # Two-piece write to handle wrap-around with static shapes: roll the cache
-        # so the write lands at a fixed index, write, roll back.
-        rolled_k = jnp.roll(cache.k, -slot, axis=1)
-        rolled_v = jnp.roll(cache.v, -slot, axis=1)
-        rolled_k = jax.lax.dynamic_update_slice(rolled_k, k, (0, 0, 0, 0))
-        rolled_v = jax.lax.dynamic_update_slice(rolled_v, v, (0, 0, 0, 0))
-        new_k = jnp.roll(rolled_k, slot, axis=1)
-        new_v = jnp.roll(rolled_v, slot, axis=1)
-        # Absolute position held by each slot after this write. Slot s holds the
-        # most recent position p <= offset+T-1 with p % C == s, or -1 if none yet.
-        idx = jnp.arange(C, dtype=jnp.int32)
-        total = offset + T  # number of positions written so far
-        last = total - 1 - jnp.mod(jnp.mod(total - 1 - idx, C), C)
-        pos_k = jnp.where(last >= 0, last, -1)
+        new_k = _write_ring(cache.k, k, offset)
+        new_v = _write_ring(cache.v, v, offset)
+        pos_k = ring_positions(offset, T, C)
     else:
-        new_k = jax.lax.dynamic_update_slice(cache.k, k, (0, offset, 0, 0))
-        new_v = jax.lax.dynamic_update_slice(cache.v, v, (0, offset, 0, 0))
-        pos_k = jnp.arange(C, dtype=jnp.int32)
+        new_k = _write_linear(cache.k, k, offset)
+        new_v = _write_linear(cache.v, v, offset)
+        pos_k = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, C))
 
-    pos_q = offset + jnp.arange(T, dtype=jnp.int32)
+    pos_q = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     out = attend(q, new_k, new_v, pos_q, pos_k, context)
     out = out.reshape(B, T, D)
-    return out @ out_proj.T, KVCache(new_k, new_v)
+    return matmul_t(out, out_proj), KVCache(new_k, new_v)

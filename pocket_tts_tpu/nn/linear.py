@@ -1,0 +1,25 @@
+"""Matmul helper shared by all dense layers.
+
+Weights are either a plain [O, I] array (torch Linear layout) or a weight-only
+int8 quantized dict {"q": int8 [.., O, I], "s": f32 [.., O]} (per-output-channel
+scales). On TPU the int8 path reads 4x fewer HBM bytes — the decode loop at
+batch 1 is weight-bandwidth-bound, so this is the same ~1.3x win the reference
+gets from dynamic int8 on CPU (docs/quantization.md), obtained the XLA way: the
+int8->activation-dtype convert fuses into the dot.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def matmul_t(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x @ w.T for plain or int8-quantized weights."""
+    if isinstance(w, dict) and "q" in w:
+        y = x @ w["q"].T.astype(x.dtype)
+        return y * w["s"]
+    return x @ w.T
+
+
+def weight_rows(w) -> int:
+    return (w["q"] if isinstance(w, dict) and "q" in w else w).shape[-2]

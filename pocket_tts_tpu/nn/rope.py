@@ -4,6 +4,9 @@ Numerics match the reference implementation (/root/reference/pocket_tts/modules/
 rope.py:7-58): pairs are interleaved along the head dim ([..., D//2, 2] view),
 rotation math is float32 regardless of input dtype, and the angle for position p
 and pair index j is p * max_period**(-2j/D).
+
+Generalization over the reference: `offset` may be per-row ([B]) instead of a
+single scalar, so a batch can hold utterances at different stream positions.
 """
 
 from __future__ import annotations
@@ -19,18 +22,18 @@ def apply_rope(
     offset: jnp.ndarray | int = 0,
     max_period: float = 10_000.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Rotate queries/keys of shape [B, T, H, D] by their absolute position.
+    """Rotate queries/keys of shape [B, T, H, D] by absolute position.
 
-    `offset` is the absolute position of the first timestep (a traced scalar is
-    fine — everything here is shape-static).
+    `offset`: scalar or [B] — absolute position of x[:, 0] (per row).
     """
     B, T, H, D = q.shape
     assert D % 2 == 0
 
     ds = jnp.arange(D // 2, dtype=jnp.float32)
     freqs = jnp.exp(ds * (-math.log(max_period) * 2 / D))
-    ts = jnp.arange(T, dtype=jnp.float32) + jnp.asarray(offset, dtype=jnp.float32)
-    angles = ts[:, None, None] * freqs  # [T, 1, D//2] broadcasting over heads
+    off = jnp.broadcast_to(jnp.asarray(offset, dtype=jnp.float32), (B,))
+    ts = jnp.arange(T, dtype=jnp.float32)[None, :] + off[:, None]  # [B, T]
+    angles = ts[:, :, None, None] * freqs  # [B, T, 1, D//2]
     rotr = jnp.cos(angles)
     roti = jnp.sin(angles)
 

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from pocket_tts_tpu.nn.attention import KVCache, init_cache, mha_step
+from pocket_tts_tpu.nn.linear import matmul_t
 
 Params = dict[str, Any]
 
@@ -33,7 +34,7 @@ class TransformerConfig(NamedTuple):
 
 
 class StackState(NamedTuple):
-    """KV caches for all layers: k/v [L, B, C, H, Dh]; offset: scalar int32."""
+    """KV caches for all layers: k/v [L, B, C, H, Dh]; offset: [B] int32 (per row)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -54,7 +55,7 @@ def init_stack_state(
     return StackState(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
-        offset=jnp.zeros((), jnp.int32),
+        offset=jnp.zeros((batch_size,), jnp.int32),
     )
 
 
@@ -107,7 +108,7 @@ def _layer_step(
         attn_out = attn_out * p["ls1"]
     x = x + attn_out
     h = layer_norm(x, p["norm2_scale"], p["norm2_bias"])
-    ff = jax.nn.gelu(h @ p["w1"].T, approximate=False) @ p["w2"].T
+    ff = matmul_t(jax.nn.gelu(matmul_t(h, p["w1"]), approximate=False), p["w2"])
     if "ls2" in p:
         ff = ff * p["ls2"]
     return x + ff, cache

@@ -1,0 +1,647 @@
+"""TTS pipeline orchestrator: the public TTSModel.
+
+TPU-native re-design of /root/reference/pocket_tts/models/tts_model.py. The
+reference runs two Python threads (FlowLM ∥ Mimi) around eager torch; here the
+whole per-frame computation — FlowLM decode step + EOS head + LSD flow sampling
++ Mimi codec decode (16 codec steps → 1920 samples) — is ONE fused jit-compiled
+step with donated state buffers. The host driver:
+
+* buckets prompt lengths and KV capacities so there are only a handful of
+  compiled variants (no shape-driven recompiles mid-stream);
+* runs the decode loop speculatively K frames ahead of the EOS check, so the
+  device never waits on the host (`_InflightFrame`); audio for frames past the
+  EOS cut is computed but simply never emitted — Mimi is causal, so earlier
+  frames are unaffected;
+* keeps JAX arrays immutable, so "copy_state" semantics are free (the voice
+  state is never mutated, decode steps build fresh buffers via donation).
+
+Batched generation (generate_audio_batch) runs B utterances with per-row
+offsets, per-row EOS latching and ragged emission — a capability the reference
+lacks (it pins batch_size=1, tts_model.py:370).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+import time
+from collections import deque
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pocket_tts_tpu.config import CONFIGS_DIR, Config, load_config
+from pocket_tts_tpu.core.hub import (
+    PREDEFINED_VOICE_ORIGINS,
+    download_if_necessary,
+    get_predefined_voice,
+)
+from pocket_tts_tpu.core.weights import (
+    flow_lm_params_from_sd,
+    load_safetensors,
+    mimi_params_from_sd,
+)
+from pocket_tts_tpu.default_parameters import (
+    DEFAULT_EOS_THRESHOLD,
+    DEFAULT_LANGUAGE,
+    DEFAULT_LSD_DECODE_STEPS,
+    DEFAULT_NOISE_CLAMP,
+    DEFAULT_TEMPERATURE,
+    MAX_TOKEN_PER_CHUNK,
+)
+from pocket_tts_tpu.io.audio import audio_read, convert_audio
+from pocket_tts_tpu.models import mimi as mimi_lib
+from pocket_tts_tpu.models.flow_lm import (
+    FlowLMSpecs,
+    build_flow_lm_specs,
+    decode_step,
+    embed_text_tokens,
+    init_flow_lm_params,
+    init_flow_lm_state,
+    prompt_step,
+)
+from pocket_tts_tpu.models.mimi import (
+    MimiSpecs,
+    build_mimi_specs,
+    decoder_step,
+    encode_to_latent,
+    init_decoder_state,
+    init_mimi_params,
+    project_latent,
+)
+from pocket_tts_tpu.nn.transformer import StackState
+from pocket_tts_tpu.pipeline.states import (
+    batch_states,
+    expand_state,
+    export_model_state,
+    import_model_state,
+)
+from pocket_tts_tpu.text.sentencepiece import SentencePieceTokenizer
+from pocket_tts_tpu.text.splitter import prepare_text_prompt, split_into_best_sentences
+
+logger = logging.getLogger(__name__)
+
+VOICE_CLONING_UNSUPPORTED = (
+    "Could not load the voice-cloning weights, but voice cloning was requested. "
+    f"Without them you can use the predefined voice catalog: "
+    f"{list(PREDEFINED_VOICE_ORIGINS)}."
+)
+
+# KV-capacity buckets: compile once per bucket, never per exact length.
+CAPACITY_BUCKETS = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+PROMPT_BUCKETS = (8, 16, 32, 64, 128, 192, 256, 384, 512)
+SPECULATIVE_DEPTH = 2  # frames the device runs ahead of the host EOS check
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 255) // 256) * 256
+
+
+@dataclasses.dataclass
+class GenerationParams:
+    temp: float = DEFAULT_TEMPERATURE
+    lsd_decode_steps: int = DEFAULT_LSD_DECODE_STEPS
+    noise_clamp: float | None = DEFAULT_NOISE_CLAMP
+    eos_threshold: float = DEFAULT_EOS_THRESHOLD
+
+
+class NoiseSource:
+    """Per-generation flow-noise stream: N(0, temp) with optional truncation.
+
+    The only stochastic input in the whole pipeline (flow_lm.py:132-137); tests
+    inject a recorded stream here to make runs bit-deterministic.
+    """
+
+    def __init__(self, params: GenerationParams, seed: int | None):
+        self.params = params
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, shape) -> np.ndarray:
+        std = self.params.temp**0.5
+        if self.params.noise_clamp is None:
+            return (self.rng.standard_normal(shape) * std).astype(np.float32)
+        from scipy.stats import truncnorm
+
+        a = -self.params.noise_clamp / std
+        b = self.params.noise_clamp / std
+        return (
+            truncnorm.rvs(a, b, scale=std, size=shape, random_state=self.rng)
+        ).astype(np.float32)
+
+
+class TTSModel:
+    """End-to-end streaming TTS on TPU: text -> 24 kHz waveform chunks."""
+
+    _TOKENS_PER_SECOND_ESTIMATE = 3.0
+    _GEN_SECONDS_PADDING = 2.0
+
+    def __init__(
+        self,
+        specs: FlowLMSpecs,
+        mimi_specs: MimiSpecs,
+        params: dict,
+        mimi_params: dict,
+        tokenizer,
+        config: Config,
+        gen_params: GenerationParams,
+        origin: Path | None = None,
+    ):
+        self.specs = specs
+        self.mimi_specs = mimi_specs
+        self.params = params
+        self.mimi_params = mimi_params
+        self.tokenizer = tokenizer
+        self.config = config
+        self.gen = gen_params
+        self.origin = origin
+        self.has_voice_cloning = True
+        self.pad_with_spaces_for_short_inputs = config.pad_with_spaces_for_short_inputs
+        self.remove_semicolons = config.remove_semicolons
+        self.model_recommended_frames_after_eos = config.model_recommended_frames_after_eos
+        self._jit_cache: dict[Any, Callable] = {}
+        self._voice_state_cache: dict[str, StackState] = {}
+
+    # ------------------------------------------------------------------ props
+
+    # generation params as attributes, mirroring the reference API surface
+    temp = property(lambda self: self.gen.temp)
+    lsd_decode_steps = property(lambda self: self.gen.lsd_decode_steps)
+    noise_clamp = property(lambda self: self.gen.noise_clamp)
+    eos_threshold = property(lambda self: self.gen.eos_threshold)
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.mimi.sample_rate
+
+    @property
+    def frame_rate(self) -> float:
+        return self.config.mimi.frame_rate
+
+    @property
+    def samples_per_frame(self) -> int:
+        return self.mimi_specs.frame_size  # 1920 @ 24 kHz / 12.5 Hz
+
+    @property
+    def device(self):
+        return jax.devices()[0]
+
+    # ------------------------------------------------------------------ load
+
+    @classmethod
+    def load_model(
+        cls,
+        language: str | None = None,
+        config: str | Path | None = None,
+        temp: float = DEFAULT_TEMPERATURE,
+        lsd_decode_steps: int = DEFAULT_LSD_DECODE_STEPS,
+        noise_clamp: float | None = DEFAULT_NOISE_CLAMP,
+        eos_threshold: float = DEFAULT_EOS_THRESHOLD,
+        quantize: bool = False,
+        allow_random_init: bool = False,
+    ) -> "TTSModel":
+        """Load a pre-trained TTS model (see reference tts_model.py:232-315).
+
+        `allow_random_init=True` builds the model with random weights when no
+        checkpoint is reachable (offline development / benchmarking).
+        """
+        if config is not None and language is not None:
+            raise ValueError("Cannot specify both config and language.")
+        if config is None and language is None:
+            language = DEFAULT_LANGUAGE
+        if language is not None:
+            if language == "french":
+                raise ValueError(
+                    "Only a larger 24-layer model is available for French; "
+                    "use the 'french_24l' language instead."
+                )
+            config = CONFIGS_DIR / f"{language}.yaml"
+        config_path = Path(config)
+        if config_path.suffix not in (".yaml", ".yml"):
+            raise ValueError("Config should be a path to a YAML file ending with .yaml")
+        cfg = load_config(config_path)
+
+        specs = build_flow_lm_specs(cfg)
+        mimi_specs = build_mimi_specs(cfg.mimi)
+        gen = GenerationParams(temp, lsd_decode_steps, noise_clamp, eos_threshold)
+
+        tokenizer = None
+        try:
+            tok_path = download_if_necessary(cfg.flow_lm.lookup_table.tokenizer_path)
+            tokenizer = SentencePieceTokenizer(cfg.flow_lm.lookup_table.n_bins, tok_path)
+        except Exception as e:  # offline or missing
+            logger.warning("Tokenizer unavailable (%s); text APIs need token ids.", e)
+
+        params = mimi_params = None
+        has_voice_cloning = True
+        if cfg.weights_path is not None:
+            try:
+                weights_file = download_if_necessary(cfg.weights_path)
+                sd = load_safetensors(weights_file)
+            except Exception:
+                try:
+                    weights_file = download_if_necessary(cfg.weights_path_without_voice_cloning)
+                    sd = load_safetensors(weights_file)
+                    has_voice_cloning = False
+                except Exception as e:
+                    if not allow_random_init:
+                        raise
+                    logger.warning("Weights unavailable (%s); using random init.", e)
+                    sd = None
+            if sd is not None:
+                params = flow_lm_params_from_sd(
+                    specs.transformer, specs.flow, sd, prefix="flow_lm."
+                )
+                mimi_params = mimi_params_from_sd(mimi_specs, sd, prefix="mimi.")
+        if params is None:
+            key = jax.random.PRNGKey(0)
+            k1, k2 = jax.random.split(key)
+            params = init_flow_lm_params(specs, k1)
+            mimi_params = init_mimi_params(mimi_specs, k2)
+
+        params = jax.tree.map(jnp.asarray, params)
+        mimi_params = jax.tree.map(jnp.asarray, mimi_params)
+
+        model = cls(specs, mimi_specs, params, mimi_params, tokenizer, cfg, gen,
+                    origin=config_path)
+        model.has_voice_cloning = has_voice_cloning
+        if quantize:
+            from pocket_tts_tpu.quant import quantize_flow_lm_int8
+
+            model.params = quantize_flow_lm_int8(model.params)
+        return model
+
+    # ------------------------------------------------------------- jit plumbing
+
+    def _jit(self, key, build: Callable[[], Callable]) -> Callable:
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = build()
+            self._jit_cache[key] = fn
+        return fn
+
+    def _text_prompt_fn(self):
+        def run(params, state, tokens, true_len):
+            emb = embed_text_tokens(params, tokens)
+            return prompt_step(self.specs, params, state, emb, true_len=true_len)
+
+        return self._jit("text_prompt", lambda: jax.jit(run))
+
+    def _audio_prompt_fn(self):
+        def run(params, state, cond, true_len):
+            return prompt_step(self.specs, params, state, cond, true_len=true_len)
+
+        return self._jit("audio_prompt", lambda: jax.jit(run))
+
+    def _fused_step_fn(self):
+        """(lm_state, mimi_state, prev_latent, is_bos, noise) -> one 80 ms frame."""
+
+        def run(params, mimi_params, lm_state, mimi_state, prev_latent, is_bos, noise):
+            latent, eos, lm_state = decode_step(
+                self.specs, params, lm_state, prev_latent, is_bos, noise,
+                lsd_steps=self.gen.lsd_decode_steps,
+                eos_threshold=self.gen.eos_threshold,
+            )
+            denorm = latent * params["emb_std"] + params["emb_mean"]
+            quantized = project_latent(self.mimi_specs, mimi_params, denorm[:, :, None])
+            audio, mimi_state = decoder_step(
+                self.mimi_specs, mimi_params, quantized, mimi_state
+            )
+            return latent, eos, audio, lm_state, mimi_state
+
+        key = ("fused_step", self.gen.lsd_decode_steps, self.gen.eos_threshold)
+        return self._jit(key, lambda: jax.jit(run, donate_argnums=(2, 3)))
+
+    def _encode_fn(self):
+        def run(mimi_params, audio):
+            latent = encode_to_latent(self.mimi_specs, mimi_params, audio)
+            return latent
+
+        return self._jit("encode", lambda: jax.jit(run))
+
+    # ------------------------------------------------------------- voice state
+
+    def init_blank_state(self, batch_size: int = 1, capacity: int = 256) -> StackState:
+        return init_flow_lm_state(self.specs, batch_size, capacity)
+
+    def get_state_for_audio_prompt(
+        self, audio_conditioning: str | Path | np.ndarray, truncate: bool = False
+    ) -> StackState:
+        """Build the voice state from audio / a .safetensors export / a catalog name
+        (reference tts_model.py:787-905)."""
+        if isinstance(audio_conditioning, (str, Path)) and str(audio_conditioning).endswith(
+            ".safetensors"
+        ):
+            path = download_if_necessary(str(audio_conditioning))
+            return import_model_state(path)
+
+        if (
+            isinstance(audio_conditioning, str)
+            and audio_conditioning in PREDEFINED_VOICE_ORIGINS
+        ):
+            if self.origin is None or not Path(self.origin).is_relative_to(CONFIGS_DIR):
+                raise ValueError(
+                    "Predefined voices need a model loaded from a language config; "
+                    f"origin is {self.origin}"
+                )
+            return import_model_state(
+                download_if_necessary(
+                    get_predefined_voice(language=Path(self.origin).stem,
+                                         name=audio_conditioning)
+                )
+            )
+
+        if not self.has_voice_cloning and isinstance(audio_conditioning, (str, Path)):
+            raise ValueError(VOICE_CLONING_UNSUPPORTED)
+
+        if isinstance(audio_conditioning, (str, Path)):
+            path = download_if_necessary(str(audio_conditioning))
+            audio, sr = audio_read(path)
+            if truncate:
+                max_samples = int(30 * sr)
+                if audio.shape[-1] > max_samples:
+                    audio = audio[..., :max_samples]
+            audio = convert_audio(audio, sr, self.sample_rate, 1)
+        else:
+            audio = np.asarray(audio_conditioning, dtype=np.float32)
+
+        return self.state_for_audio_array(audio)
+
+    def state_for_audio_array(self, audio: np.ndarray) -> StackState:
+        """audio: [1, T] or [B, 1, T] float32 at the model sample rate."""
+        if audio.ndim == 2:
+            audio = audio[None]
+        B, _, T = audio.shape
+        fs = self.mimi_specs.frame_size
+        n_frames = math.ceil(T / fs)
+        # bucket the wav length so the encoder compiles a few shapes only
+        frame_bucket = _bucket(n_frames, (25, 50, 75, 100, 150, 200, 250, 300, 375, 512))
+        padded = np.zeros((B, 1, frame_bucket * fs), np.float32)
+        padded[:, :, :T] = audio
+        latent = self._encode_fn()(self.mimi_params, jnp.asarray(padded))
+        latent = latent[:, :, :n_frames]
+        # speaker projection into backbone space (tts_model.py:379-388)
+        cond = jnp.einsum("bct,dc->btd", latent.astype(jnp.float32),
+                          self.params["speaker_proj_weight"])
+        if self.specs.insert_bos_before_voice:
+            bos = jnp.broadcast_to(self.params["bos_before_voice"],
+                                   (B, 1, self.specs.transformer.d_model))
+            cond = jnp.concatenate([bos, cond], axis=1)
+        prompt_len = cond.shape[1]
+        pad_to = _bucket(prompt_len, PROMPT_BUCKETS)
+        cond = jnp.pad(cond, ((0, 0), (0, pad_to - prompt_len), (0, 0)))
+        capacity = _bucket(prompt_len, CAPACITY_BUCKETS)
+        state = init_flow_lm_state(self.specs, B, capacity)
+        true_len = jnp.full((B,), prompt_len, jnp.int32)
+        return self._audio_prompt_fn()(self.params, state, cond, true_len)
+
+    def cached_get_state_for_audio_prompt(
+        self, audio_conditioning: str, truncate: bool = False
+    ) -> StackState:
+        key = f"{audio_conditioning}|{truncate}"
+        if key not in self._voice_state_cache:
+            if len(self._voice_state_cache) >= 2:  # LRU(2) like the reference server
+                self._voice_state_cache.pop(next(iter(self._voice_state_cache)))
+            self._voice_state_cache[key] = self.get_state_for_audio_prompt(
+                audio_conditioning, truncate
+            )
+        return self._voice_state_cache[key]
+
+    # -------------------------------------------------------------- generation
+
+    def _estimate_max_gen_len(self, token_count: int) -> int:
+        gen_len_sec = token_count / self._TOKENS_PER_SECOND_ESTIMATE + self._GEN_SECONDS_PADDING
+        return math.ceil(gen_len_sec * self.frame_rate)
+
+    def _encode_text(self, text: str) -> list[int]:
+        if self.tokenizer is None:
+            raise RuntimeError(
+                "No tokenizer available (offline?); use generate_audio_stream_from_tokens."
+            )
+        return self.tokenizer.encode(text)
+
+    def generate_audio_stream(
+        self,
+        model_state: StackState,
+        text_to_generate: str,
+        max_tokens: int = MAX_TOKEN_PER_CHUNK,
+        frames_after_eos: int | None = None,
+        copy_state: bool = True,
+        seed: int | None = None,
+        noise_source: Callable | None = None,
+    ) -> Iterator[np.ndarray]:
+        """Yield [samples] float32 chunks (80 ms each) as they are decoded.
+
+        Long text is split into sentence chunks; each chunk generates against
+        the (immutable) voice state, which bounds KV growth structurally.
+        """
+        if frames_after_eos is None:
+            frames_after_eos = self.model_recommended_frames_after_eos
+        chunks = split_into_best_sentences(
+            self.tokenizer, text_to_generate, max_tokens,
+            self.pad_with_spaces_for_short_inputs, self.remove_semicolons,
+        )
+        noise = noise_source or NoiseSource(self.gen, seed)
+        for chunk in chunks:
+            _, guess = prepare_text_prompt(
+                chunk, self.pad_with_spaces_for_short_inputs, self.remove_semicolons
+            )
+            effective = frames_after_eos if frames_after_eos is not None else guess + 2
+            yield from self.generate_audio_stream_from_tokens(
+                model_state, self._encode_text(chunk), effective, noise
+            )
+
+    def generate_audio_stream_from_tokens(
+        self,
+        model_state: StackState,
+        tokens: list[int],
+        frames_after_eos: int,
+        noise_source: Callable,
+        max_gen_len: int | None = None,
+    ) -> Iterator[np.ndarray]:
+        """Single-chunk generation from token ids (B=1). Emission semantics match
+        the reference AR loop exactly (tts_model.py:744-779)."""
+        t_start = time.monotonic()
+        token_count = len(tokens)
+        if max_gen_len is None:
+            max_gen_len = self._estimate_max_gen_len(token_count)
+        current_end = int(np.asarray(model_state.offset).max())
+        required = current_end + token_count + max_gen_len
+        capacity = _bucket(required, CAPACITY_BUCKETS)
+
+        lm_state = expand_state(model_state, capacity)
+        lm_state = self._prompt_text_tokens(lm_state, tokens)
+        mimi_state = init_decoder_state(self.mimi_specs, 1)
+
+        B = lm_state.offset.shape[0]
+        ldim = self.specs.ldim
+        prev_latent = jnp.zeros((B, ldim), jnp.float32)
+        is_bos_true = jnp.ones((B,), bool)
+        is_bos_false = jnp.zeros((B,), bool)
+        step_fn = self._fused_step_fn()
+
+        inflight: deque = deque()
+        eos_step = None
+        emitted = 0
+        stop = False
+        for step in range(max_gen_len):
+            noise = jnp.asarray(noise_source((B, ldim)))
+            latent, eos, audio, lm_state, mimi_state = step_fn(
+                self.params, self.mimi_params, lm_state, mimi_state,
+                prev_latent, is_bos_true if step == 0 else is_bos_false, noise,
+            )
+            prev_latent = latent
+            inflight.append((step, eos, audio))
+            if len(inflight) > SPECULATIVE_DEPTH:
+                s, e, a = inflight.popleft()
+                if bool(np.asarray(e)[0]) and eos_step is None:
+                    eos_step = s
+                if eos_step is not None and s >= eos_step + frames_after_eos:
+                    stop = True
+                    break
+                emitted += 1
+                yield np.asarray(a)[0, 0]
+        if not stop:
+            while inflight:
+                s, e, a = inflight.popleft()
+                if bool(np.asarray(e)[0]) and eos_step is None:
+                    eos_step = s
+                if eos_step is not None and s >= eos_step + frames_after_eos:
+                    break
+                emitted += 1
+                yield np.asarray(a)[0, 0]
+            if eos_step is None:
+                logger.warning(
+                    "Maximum generation length reached without EOS; "
+                    "this very often indicates an error."
+                )
+        dur_ms = emitted * self.samples_per_frame * 1000 / self.sample_rate
+        wall_ms = (time.monotonic() - t_start) * 1000
+        logger.info(
+            "Generated %d ms of audio in %d ms (%.2fx real-time)",
+            int(dur_ms), int(wall_ms), dur_ms / max(wall_ms, 1e-6),
+        )
+
+    def _prompt_text_tokens(self, lm_state: StackState, tokens: list[int]) -> StackState:
+        B = lm_state.offset.shape[0]
+        pad_to = _bucket(len(tokens), PROMPT_BUCKETS)
+        tok = np.zeros((B, pad_to), np.int32)
+        tok[:, : len(tokens)] = tokens
+        true_len = jnp.full((B,), len(tokens), jnp.int32)
+        return self._text_prompt_fn()(self.params, lm_state, jnp.asarray(tok), true_len)
+
+    def generate_audio(
+        self,
+        model_state: StackState,
+        text_to_generate: str,
+        max_tokens: int = MAX_TOKEN_PER_CHUNK,
+        frames_after_eos: int | None = None,
+        copy_state: bool = True,
+        seed: int | None = None,
+        noise_source: Callable | None = None,
+    ) -> np.ndarray:
+        """Generate the full waveform [samples] for a text prompt."""
+        chunks = list(
+            self.generate_audio_stream(
+                model_state, text_to_generate, max_tokens=max_tokens,
+                frames_after_eos=frames_after_eos, copy_state=copy_state,
+                seed=seed, noise_source=noise_source,
+            )
+        )
+        return np.concatenate(chunks, axis=0) if chunks else np.zeros((0,), np.float32)
+
+    # --------------------------------------------------------------- batched
+
+    def generate_audio_batch(
+        self,
+        model_states: list[StackState] | StackState,
+        token_lists: list[list[int]],
+        frames_after_eos: int = 3,
+        seed: int | None = None,
+        noise_source: Callable | None = None,
+    ) -> list[np.ndarray]:
+        """Batched decode of B utterances in one compiled step train.
+
+        Per-row EOS latching + ragged emission; rows finish independently and
+        their audio is trimmed at their own cut frame.
+        """
+        token_counts = [len(t) for t in token_lists]
+        B = len(token_lists)
+        max_gen_len = self._estimate_max_gen_len(max(token_counts))
+
+        if isinstance(model_states, list):
+            current_end = max(int(np.asarray(s.offset).max()) for s in model_states)
+            required = current_end + max(token_counts) + max_gen_len
+            capacity = _bucket(required, CAPACITY_BUCKETS)
+            lm_state = batch_states(model_states, capacity)
+        else:
+            lm_state = model_states
+            current_end = int(np.asarray(lm_state.offset).max())
+            capacity = _bucket(current_end + max(token_counts) + max_gen_len,
+                               CAPACITY_BUCKETS)
+            lm_state = expand_state(lm_state, capacity)
+            assert lm_state.offset.shape[0] == B
+
+        # right-pad token rows to one bucket; per-row true lengths
+        pad_to = _bucket(max(token_counts), PROMPT_BUCKETS)
+        tok = np.zeros((B, pad_to), np.int32)
+        for i, ts in enumerate(token_lists):
+            tok[i, : len(ts)] = ts
+        true_len = jnp.asarray(token_counts, jnp.int32)
+        lm_state = self._text_prompt_fn()(self.params, lm_state, jnp.asarray(tok), true_len)
+
+        mimi_state = init_decoder_state(self.mimi_specs, B)
+        noise_fn = noise_source or NoiseSource(self.gen, seed)
+        step_fn = self._fused_step_fn()
+
+        ldim = self.specs.ldim
+        prev_latent = jnp.zeros((B, ldim), jnp.float32)
+        eos_step = np.full((B,), -1, np.int64)
+        end_step = np.full((B,), max_gen_len, np.int64)
+        frames: list[np.ndarray] = []
+        eos_flags: list[np.ndarray] = []
+        for step in range(max_gen_len):
+            noise = jnp.asarray(noise_fn((B, ldim)))
+            is_bos = jnp.full((B,), step == 0, bool)
+            latent, eos, audio, lm_state, mimi_state = step_fn(
+                self.params, self.mimi_params, lm_state, mimi_state,
+                prev_latent, is_bos, noise,
+            )
+            prev_latent = latent
+            frames.append(audio)
+            eos_flags.append(eos)
+            # resolve flags a couple of steps behind to avoid stalling the device
+            if step >= SPECULATIVE_DEPTH:
+                self._update_row_cuts(eos_flags, step - SPECULATIVE_DEPTH, eos_step,
+                                      end_step, frames_after_eos)
+            if all(end_step <= step - SPECULATIVE_DEPTH):
+                break
+        for s in range(max(0, len(frames) - SPECULATIVE_DEPTH), len(frames)):
+            self._update_row_cuts(eos_flags, s, eos_step, end_step, frames_after_eos)
+
+        stacked = np.stack([np.asarray(f)[:, 0, :] for f in frames], axis=1)  # [B,S,1920]
+        out = []
+        for b in range(B):
+            n = min(int(end_step[b]), stacked.shape[1])
+            out.append(stacked[b, :n].reshape(-1))
+        return out
+
+    @staticmethod
+    def _update_row_cuts(eos_flags, s, eos_step, end_step, frames_after_eos):
+        flags = np.asarray(eos_flags[s])
+        newly = (flags > 0) & (eos_step < 0)
+        eos_step[newly] = s
+        has = eos_step >= 0
+        end_step[has] = np.minimum(end_step[has], eos_step[has] + frames_after_eos)
+
+    # ----------------------------------------------------------------- export
+
+    def export_model_state(self, state: StackState, dest: str | Path) -> None:
+        export_model_state(state, dest)

@@ -119,4 +119,4 @@ def test_padded_prompt_matches_unpadded():
         np.asarray(y2)[:, :true_len], np.asarray(y1), rtol=1e-6, atol=1e-6
     )
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), rtol=1e-6, atol=1e-6)
-    assert int(s1.offset) == int(s2.offset)
+    assert int(s1.offset[0]) == int(s2.offset[0])
