@@ -68,7 +68,8 @@ def default_freqs(cfg: FlowMLPConfig) -> jnp.ndarray:
 
 def init_flow_mlp_params(cfg: FlowMLPConfig, key, dtype=jnp.float32) -> Params:
     C, M = cfg.in_channels, cfg.model_channels
-    ks = iter(jax.random.split(key, 32))
+    n_keys = 2 * (2 * cfg.num_time_conds + 4 * cfg.num_res_blocks + 4)
+    ks = iter(jax.random.split(key, n_keys))
 
     def linear(shape_out, shape_in):
         bound = 1.0 / math.sqrt(shape_in)
