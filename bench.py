@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: repeat runs skip the (slow) remote TPU compile
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_RTS = 6.33  # reference real-time factor (M4, f32)
 FRAME_SECONDS = 0.08
 WARMUP_STEPS = 10
