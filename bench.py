@@ -1,14 +1,20 @@
-"""Benchmark: streaming TTS throughput on one TPU chip.
+"""Benchmark: streaming TTS throughput + latency on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": "audio_seconds_per_second_per_chip", "value": N, "unit": "audio-s/s",
    "vs_baseline": N, ...extras}
 
-Primary metric = BASELINE config #1 (single utterance, streaming decode: fused
-FlowLM step + Mimi codec per 80 ms frame, english 100M shapes). vs_baseline is
-against the reference's published 6.33x real-time (MacBook Air M4,
-docs/quantization.md:53-57). Extras report batch-32 throughput (config #2) and
-first-chunk latency.
+Methodology: timings use chained-dispatch slope (time(N2 blocks) - time(N1
+blocks)) / (N2 - N1) with a final device fetch forcing completion — immune to
+async-dispatch illusions and fixed per-session overheads. Each dispatch is an
+8-frame lax.scan of the fused step (FlowLM decode + EOS + LSD flow + full Mimi
+codec decode), exactly what the production driver runs in steady state.
+
+Primary value = bf16 weights, batch 1 (single-utterance streaming, BASELINE
+config #1). Extras: f32 (the waveform-parity dtype), int8 weight-only
+(quantized serving), batch-32 (config #2), and first-chunk latency (text prompt
++ first frame). vs_baseline is against the reference's published 6.33x
+real-time (M4 CPU, docs/quantization.md:53-57).
 
 Weights are random — throughput and latency are weight-value independent.
 """
@@ -22,120 +28,138 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compile cache: repeat runs skip the (slow) remote TPU compile
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_RTS = 6.33  # reference real-time factor (M4, f32)
 FRAME_SECONDS = 0.08
-WARMUP_STEPS = 10
-BENCH_STEPS = 100
+BLOCK = 8  # frames per dispatch (matches pipeline SCAN_BLOCK_FRAMES)
 
 
-def build(batch: int, capacity: int, dtype=jnp.float32):
+def build_model(dtype, quantize: bool):
     from pocket_tts_tpu.config import CONFIGS_DIR, load_config
-    from pocket_tts_tpu.models.flow_lm import (
-        build_flow_lm_specs,
-        decode_step,
-        init_flow_lm_params,
-        init_flow_lm_state,
-    )
-    from pocket_tts_tpu.models.mimi import (
-        build_mimi_specs,
-        decoder_step,
-        init_decoder_state,
-        init_mimi_params,
-        project_latent,
-    )
+    from pocket_tts_tpu.models.flow_lm import build_flow_lm_specs, init_flow_lm_params
+    from pocket_tts_tpu.models.mimi import build_mimi_specs, init_mimi_params
+    from pocket_tts_tpu.pipeline.tts import GenerationParams, TTSModel
+    from pocket_tts_tpu.quant import quantize_flow_lm_int8
 
     cfg = load_config(CONFIGS_DIR / "english.yaml")
     specs = build_flow_lm_specs(cfg)
     mimi_specs = build_mimi_specs(cfg.mimi)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    params = jax.tree.map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
-        init_flow_lm_params(specs, k1),
-    )
-    mimi_params = jax.tree.map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
-        init_mimi_params(mimi_specs, k2),
-    )
 
-    def fused_step(params, mimi_params, lm_state, mimi_state, prev_latent, is_bos, noise):
-        latent, eos, lm_state = decode_step(
-            specs, params, lm_state, prev_latent, is_bos, noise,
-            lsd_steps=1, eos_threshold=-4.0,
+    def cast(t):
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t
         )
-        denorm = latent * params["emb_std"] + params["emb_mean"]
-        quantized = project_latent(mimi_specs, mimi_params, denorm[:, :, None])
-        audio, mimi_state = decoder_step(mimi_specs, mimi_params, quantized, mimi_state)
-        return latent, eos, audio, lm_state, mimi_state
 
-    step = jax.jit(fused_step, donate_argnums=(2, 3))
-    lm_state = init_flow_lm_state(specs, batch, capacity, dtype)
-    mimi_state = init_decoder_state(mimi_specs, batch, dtype)
-    prev = jnp.zeros((batch, specs.ldim), dtype)
-    noise = jnp.zeros((batch, specs.ldim), dtype)
-    is_bos = jnp.zeros((batch,), bool)
-    return step, params, mimi_params, lm_state, mimi_state, prev, is_bos, noise
+    params = cast(init_flow_lm_params(specs, k1))
+    mimi_params = cast(init_mimi_params(mimi_specs, k2))
+    if quantize:
+        params = quantize_flow_lm_int8(params)
+    model = TTSModel(specs, mimi_specs, params, mimi_params, tokenizer=None,
+                     config=cfg, gen_params=GenerationParams())
+    return model, dtype
 
 
-def measure(batch: int, capacity: int = 768, dtype=jnp.float32):
-    step, params, mimi_params, lm_state, mimi_state, prev, is_bos, noise = build(
-        batch, capacity, dtype
-    )
-    t_compile = time.monotonic()
-    latent, eos, audio, lm_state, mimi_state = step(
-        params, mimi_params, lm_state, mimi_state, prev, is_bos, noise
-    )
-    jax.block_until_ready(audio)
-    compile_s = time.monotonic() - t_compile
-    first_frame_ms = None
-    # steady state
-    for _ in range(WARMUP_STEPS):
-        latent, eos, audio, lm_state, mimi_state = step(
-            params, mimi_params, lm_state, mimi_state, latent, is_bos, noise
+def measure_throughput(model, dtype, batch: int, capacity: int = 768,
+                       n1: int = 3, n2: int = 28):
+    from pocket_tts_tpu.models.flow_lm import init_flow_lm_state
+    from pocket_tts_tpu.models.mimi import init_decoder_state
+
+    step = model._multi_step_fn(BLOCK)
+    ldim = model.specs.ldim
+
+    def fresh():
+        return (
+            init_flow_lm_state(model.specs, batch, capacity, dtype),
+            init_decoder_state(model.mimi_specs, batch, dtype),
+            jnp.zeros((batch, ldim), dtype),
+            jnp.zeros((batch,), bool),
+            jnp.zeros((BLOCK, batch, ldim), dtype),
         )
-    jax.block_until_ready(audio)
-    t0 = time.monotonic()
-    for _ in range(BENCH_STEPS):
-        latent, eos, audio, lm_state, mimi_state = step(
-            params, mimi_params, lm_state, mimi_state, latent, is_bos, noise
-        )
-    jax.block_until_ready(audio)
-    dt = time.monotonic() - t0
-    frames_per_s = BENCH_STEPS / dt
-    # first-chunk latency: one prompt-free decode step, post-warmup
-    t1 = time.monotonic()
-    out = step(params, mimi_params, lm_state, mimi_state, latent, is_bos, noise)
-    jax.block_until_ready(out[2])
-    first_frame_ms = (time.monotonic() - t1) * 1000
-    latent, eos, audio, lm_state, mimi_state = out
+
+    def chain(n_blocks):
+        lm_state, mimi_state, prev, is_bos, noise = fresh()
+        t0 = time.monotonic()
+        for _ in range(n_blocks):
+            latents, eos, audio, lm_state, mimi_state = step(
+                model.params, model.mimi_params, lm_state, mimi_state,
+                prev, is_bos, noise,
+            )
+            prev = latents[-1]
+        np.asarray(eos)  # force completion of the chain
+        return time.monotonic() - t0
+
+    chain(1)  # compile + claim
+    chain(1)  # warm
+    t1 = chain(n1)
+    t2 = chain(n2)
+    frame_ms = (t2 - t1) / ((n2 - n1) * BLOCK) * 1000
     return {
-        "frames_per_s": frames_per_s,
-        "audio_s_per_s": frames_per_s * FRAME_SECONDS * batch,
-        "step_ms": 1000 / frames_per_s,
-        "first_frame_ms": first_frame_ms,
-        "compile_s": compile_s,
+        "frame_ms": frame_ms,
+        "audio_s_per_s": FRAME_SECONDS / (frame_ms / 1000) * batch,
     }
 
 
+def measure_first_chunk_latency(model, dtype, capacity: int = 768,
+                                n_tokens: int = 16):
+    """Text prompt (bucketed) + first fused frame + host fetch, post-warmup."""
+    from pocket_tts_tpu.models.flow_lm import init_flow_lm_state
+    from pocket_tts_tpu.models.mimi import init_decoder_state
+
+    prompt = model._text_prompt_fn()
+    step = model._fused_step_fn()
+    ldim = model.specs.ldim
+    tokens = jnp.zeros((1, n_tokens), jnp.int32)
+    true_len = jnp.full((1,), n_tokens, jnp.int32)
+
+    def once():
+        lm_state = init_flow_lm_state(model.specs, 1, capacity, dtype)
+        mimi_state = init_decoder_state(model.mimi_specs, 1, dtype)
+        t0 = time.monotonic()
+        lm_state = prompt(model.params, lm_state, tokens, true_len)
+        _, _, audio, lm_state, mimi_state = step(
+            model.params, model.mimi_params, lm_state, mimi_state,
+            jnp.zeros((1, ldim), dtype), jnp.ones((1,), bool),
+            jnp.zeros((1, ldim), dtype),
+        )
+        np.asarray(audio)
+        return (time.monotonic() - t0) * 1000
+
+    once()  # compile
+    times = [once() for _ in range(5)]
+    return float(np.median(times))
+
+
 def main():
-    single = measure(batch=1)
-    batch32 = measure(batch=32)
-    value = single["audio_s_per_s"]
-    result = {
+    results = {}
+
+    model_bf16, _ = build_model(jnp.bfloat16, quantize=False)
+    results["bf16_b1"] = measure_throughput(model_bf16, jnp.bfloat16, batch=1)
+    results["bf16_b32"] = measure_throughput(model_bf16, jnp.bfloat16, batch=32)
+    results["first_chunk_ms"] = measure_first_chunk_latency(model_bf16, jnp.bfloat16)
+
+    model_f32, _ = build_model(jnp.float32, quantize=False)
+    results["f32_b1"] = measure_throughput(model_f32, jnp.float32, batch=1)
+
+    model_int8, _ = build_model(jnp.float32, quantize=True)
+    results["int8_b1"] = measure_throughput(model_int8, jnp.float32, batch=1)
+
+    value = results["bf16_b1"]["audio_s_per_s"]
+    out = {
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(value, 2),
         "unit": "audio-s/s",
         "vs_baseline": round(value / REFERENCE_RTS, 2),
-        "batch1_step_ms": round(single["step_ms"], 3),
-        "batch1_first_frame_ms": round(single["first_frame_ms"], 2),
-        "batch32_audio_s_per_s": round(batch32["audio_s_per_s"], 2),
-        "batch32_step_ms": round(batch32["step_ms"], 3),
+        "bf16_b1_frame_ms": round(results["bf16_b1"]["frame_ms"], 3),
+        "f32_b1_audio_s_per_s": round(results["f32_b1"]["audio_s_per_s"], 2),
+        "int8_b1_audio_s_per_s": round(results["int8_b1"]["audio_s_per_s"], 2),
+        "batch32_audio_s_per_s": round(results["bf16_b32"]["audio_s_per_s"], 2),
+        "first_chunk_ms": round(results["first_chunk_ms"], 1),
         "device": str(jax.devices()[0]),
     }
-    print(json.dumps(result))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

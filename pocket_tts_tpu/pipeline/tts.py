@@ -96,6 +96,8 @@ VOICE_CLONING_UNSUPPORTED = (
 CAPACITY_BUCKETS = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
 PROMPT_BUCKETS = (8, 16, 32, 64, 128, 192, 256, 384, 512)
 SPECULATIVE_DEPTH = 2  # frames the device runs ahead of the host EOS check
+FIRST_BLOCK_FRAMES = 2  # single-frame dispatches up front (first-chunk latency)
+SCAN_BLOCK_FRAMES = 8  # frames per scan dispatch in steady state
 
 
 def _bucket(n: int, buckets) -> int:
@@ -319,6 +321,40 @@ class TTSModel:
         key = ("fused_step", self.gen.lsd_decode_steps, self.gen.eos_threshold)
         return self._jit(key, lambda: jax.jit(run, donate_argnums=(2, 3)))
 
+    def _multi_step_fn(self, block: int):
+        """K frames per dispatch via lax.scan — amortizes host->device dispatch.
+
+        Returns (latents [K,B,ldim], eos [K,B], audio [K,B,1,1920], states)."""
+
+        def run(params, mimi_params, lm_state, mimi_state, prev_latent, is_bos0, noise):
+            def body(carry, xs):
+                lm_state, mimi_state, prev, is_bos = carry
+                step_noise = xs
+                latent, eos, lm_state = decode_step(
+                    self.specs, params, lm_state, prev, is_bos, step_noise,
+                    lsd_steps=self.gen.lsd_decode_steps,
+                    eos_threshold=self.gen.eos_threshold,
+                )
+                denorm = latent * params["emb_std"] + params["emb_mean"]
+                quantized = project_latent(self.mimi_specs, mimi_params,
+                                           denorm[:, :, None])
+                audio, mimi_state = decoder_step(
+                    self.mimi_specs, mimi_params, quantized, mimi_state
+                )
+                new_carry = (lm_state, mimi_state, latent,
+                             jnp.zeros_like(is_bos))
+                return new_carry, (latent, eos, audio)
+
+            carry = (lm_state, mimi_state, prev_latent, is_bos0)
+            (lm_state, mimi_state, last_latent, _), ys = jax.lax.scan(
+                body, carry, noise
+            )
+            latents, eos, audio = ys
+            return latents, eos, audio, lm_state, mimi_state
+
+        key = ("multi_step", block, self.gen.lsd_decode_steps, self.gen.eos_threshold)
+        return self._jit(key, lambda: jax.jit(run, donate_argnums=(2, 3)))
+
     def _encode_fn(self):
         def run(mimi_params, audio):
             latent = encode_to_latent(self.mimi_specs, mimi_params, audio)
@@ -483,45 +519,82 @@ class TTSModel:
         B = lm_state.offset.shape[0]
         ldim = self.specs.ldim
         prev_latent = jnp.zeros((B, ldim), jnp.float32)
-        is_bos_true = jnp.ones((B,), bool)
-        is_bos_false = jnp.zeros((B,), bool)
-        step_fn = self._fused_step_fn()
+        is_bos = jnp.ones((B,), bool)
 
+        # Low-latency single steps for the first frames, then K-frame scan blocks
+        # (one dispatch per block amortizes the host->device round trip). One
+        # block stays speculatively in flight so the device never idles on the
+        # host-side EOS check.
         inflight: deque = deque()
         eos_step = None
         emitted = 0
         stop = False
-        for step in range(max_gen_len):
-            noise = jnp.asarray(noise_source((B, ldim)))
-            latent, eos, audio, lm_state, mimi_state = step_fn(
-                self.params, self.mimi_params, lm_state, mimi_state,
-                prev_latent, is_bos_true if step == 0 else is_bos_false, noise,
-            )
-            prev_latent = latent
-            inflight.append((step, eos, audio))
-            if len(inflight) > SPECULATIVE_DEPTH:
-                s, e, a = inflight.popleft()
-                if bool(np.asarray(e)[0]) and eos_step is None:
+        frames_started = 0
+
+        def emit(block_start, eos_arr, audio_arr):
+            """Apply reference emission semantics (tts_model.py:756-764) to a
+            block; returns False when generation must stop."""
+            nonlocal eos_step, emitted, stop
+            flags = np.asarray(eos_arr)  # [K, B] or [B]
+            audio = None
+            K = flags.shape[0] if flags.ndim == 2 else 1
+            for i in range(K):
+                s = block_start + i
+                if s >= max_gen_len:
+                    break
+                flag = bool(flags[i, 0] if flags.ndim == 2 else flags[0])
+                if flag and eos_step is None:
                     eos_step = s
                 if eos_step is not None and s >= eos_step + frames_after_eos:
                     stop = True
-                    break
+                    return False
+                if audio is None:
+                    audio = np.asarray(audio_arr)
                 emitted += 1
-                yield np.asarray(a)[0, 0]
-        if not stop:
-            while inflight:
-                s, e, a = inflight.popleft()
-                if bool(np.asarray(e)[0]) and eos_step is None:
-                    eos_step = s
-                if eos_step is not None and s >= eos_step + frames_after_eos:
-                    break
-                emitted += 1
-                yield np.asarray(a)[0, 0]
-            if eos_step is None:
-                logger.warning(
-                    "Maximum generation length reached without EOS; "
-                    "this very often indicates an error."
+                yield_frames.append(audio[i, 0, 0] if audio.ndim == 4 else audio[0, 0])
+            return True
+
+        yield_frames: list[np.ndarray] = []
+        while frames_started < max_gen_len and not stop:
+            K = 1 if frames_started < FIRST_BLOCK_FRAMES else SCAN_BLOCK_FRAMES
+            if K == 1:
+                noise = jnp.asarray(noise_source((B, ldim)))
+                latent, eos, audio, lm_state, mimi_state = self._fused_step_fn()(
+                    self.params, self.mimi_params, lm_state, mimi_state,
+                    prev_latent, is_bos, noise,
                 )
+            else:
+                noise = jnp.asarray(noise_source((K, B, ldim)))
+                latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(K)(
+                    self.params, self.mimi_params, lm_state, mimi_state,
+                    prev_latent, is_bos, noise,
+                )
+                latent = latent[-1]
+            prev_latent = latent
+            is_bos = jnp.zeros((B,), bool)
+            inflight.append((frames_started, eos, audio))
+            frames_started += K
+            if len(inflight) > 1:
+                start, e, a = inflight.popleft()
+                ok = emit(start, e, a)
+                for f in yield_frames:
+                    yield f
+                yield_frames.clear()
+                if not ok:
+                    break
+        while inflight and not stop:
+            start, e, a = inflight.popleft()
+            ok = emit(start, e, a)
+            for f in yield_frames:
+                yield f
+            yield_frames.clear()
+            if not ok:
+                break
+        if eos_step is None and frames_started >= max_gen_len:
+            logger.warning(
+                "Maximum generation length reached without EOS; "
+                "this very often indicates an error."
+            )
         dur_ms = emitted * self.samples_per_frame * 1000 / self.sample_rate
         wall_ms = (time.monotonic() - t_start) * 1000
         logger.info(
