@@ -74,9 +74,9 @@ def measure_throughput(model, dtype, batch: int, capacity: int = 768,
         return (
             init_flow_lm_state(model.specs, batch, capacity, dtype),
             init_decoder_state(model.mimi_specs, batch, dtype),
-            jnp.zeros((batch, ldim), dtype),
+            jnp.zeros((batch, ldim), jnp.float32),
             jnp.zeros((batch,), bool),
-            jnp.zeros((BLOCK, batch, ldim), dtype),
+            jnp.zeros((BLOCK, batch, ldim), jnp.float32),
         )
 
     def chain(n_blocks):
@@ -121,8 +121,8 @@ def measure_first_chunk_latency(model, dtype, capacity: int = 768,
         lm_state = prompt(model.params, lm_state, tokens, true_len)
         _, _, audio, lm_state, mimi_state = step(
             model.params, model.mimi_params, lm_state, mimi_state,
-            jnp.zeros((1, ldim), dtype), jnp.ones((1,), bool),
-            jnp.zeros((1, ldim), dtype),
+            jnp.zeros((1, ldim), jnp.float32), jnp.ones((1,), bool),
+            jnp.zeros((1, ldim), jnp.float32),
         )
         np.asarray(audio)
         return (time.monotonic() - t0) * 1000

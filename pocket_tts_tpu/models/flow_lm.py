@@ -137,12 +137,17 @@ def decode_step(
     noise: [B, ldim] (pre-scaled flow noise, std = sqrt(temp)).
     Returns (next_latent [B, ldim], eos [B] bool, state).
     """
-    latent = jnp.where(is_bos[:, None], params["bos_emb"], prev_latent)
+    wdtype = params["input_linear"].dtype
+    latent = jnp.where(is_bos[:, None], params["bos_emb"], prev_latent.astype(wdtype))
     x = (latent @ params["input_linear"].T)[:, None, :]  # [B, 1, D]
     h, state = transformer_apply(specs.transformer, params["transformer"], x, state)
+    # heads always run in f32 (matches reference flow_lm.py:125 f32 cast; the
+    # flow head stays f32 even when the backbone is bf16/int8)
     h = layer_norm(h[:, -1].astype(jnp.float32), params["out_norm"]["w"],
                    params["out_norm"]["b"])
-    eos_logit = h @ params["out_eos"]["w"].T + params["out_eos"]["b"]
+    eos_logit = h @ params["out_eos"]["w"].T.astype(jnp.float32) + params["out_eos"]["b"]
     eos = eos_logit[:, 0] > eos_threshold
-    next_latent = lsd_decode(specs.flow, params["flow_net"], h, noise, lsd_steps)
+    next_latent = lsd_decode(
+        specs.flow, params["flow_net"], h, noise.astype(jnp.float32), lsd_steps
+    )
     return next_latent, eos, state

@@ -68,18 +68,25 @@ def attend(
     """Masked SDPA. q: [B,T,H,Dh]; k/v: [B,C,H,Dh]; pos_q: [B,T]; pos_k: [B,C]."""
     dh = q.shape[-1]
     scale = 1.0 / math.sqrt(dh)
-    logits = jnp.einsum("bthd,bchd->bhtc", q, k) * scale
+    logits = (
+        jnp.einsum("bthd,bchd->bhtc", q, k, preferred_element_type=jnp.float32) * scale
+    )
     delta = pos_q[:, :, None] - pos_k[:, None, :]  # [B, T, C]
     mask = (pos_k[:, None, :] >= 0) & (delta >= 0)
     if context is not None:
         mask = mask & (delta < context)
     logits = jnp.where(mask[:, None], logits, jnp.finfo(logits.dtype).min)
     weights = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhtc,bchd->bthd", weights, v)
+    out = jnp.einsum(
+        "bhtc,bchd->bthd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
 
 
 def _write_linear(cache: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
     """Per-row dynamic_update_slice at each row's offset. cache: [B,C,H,Dh]."""
+    new = new.astype(cache.dtype)
     return jax.vmap(
         lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0, 0))
     )(cache, new, offset)
@@ -87,6 +94,7 @@ def _write_linear(cache: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray) -> 
 
 def _write_ring(cache: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
     """Wrap-around write: roll so the write slot lands at 0, write, roll back."""
+    new = new.astype(cache.dtype)
     C = cache.shape[1]
 
     def one(c, n, o):

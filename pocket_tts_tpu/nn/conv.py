@@ -79,7 +79,9 @@ def pad_for_conv1d(x: jnp.ndarray, kernel_size: int, stride: int) -> jnp.ndarray
 
 
 def conv1d_raw(x: jnp.ndarray, spec: ConvSpec, params: ConvParams) -> jnp.ndarray:
-    """VALID-padding grouped/dilated conv on [B, C, T]."""
+    """VALID-padding grouped/dilated conv on [B, C, T]. Weight dtype sets the
+    compute dtype (mixed-precision entry point)."""
+    x = x.astype(params.weight.dtype)
     y = lax.conv_general_dilated(
         x,
         params.weight,
@@ -135,6 +137,7 @@ def conv_transpose1d_raw(x: jnp.ndarray, spec: ConvTrSpec, params: ConvParams) -
     as an input-dilated correlation with the kernel flipped and transposed.
     """
     w = params.weight  # [C_in, C_out/groups, K]
+    x = x.astype(w.dtype)
     K = spec.kernel_size
     if spec.groups == 1:
         kernel = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # [C_out, C_in, K]
