@@ -233,6 +233,130 @@ def flow_mlp_params_from_sd(cfg, sd: StateDict, prefix: str = "") -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# pytree -> runtime name export (reference-compatible checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def transformer_params_to_sd(p: dict, prefix: str) -> dict[str, Array]:
+    """Inverse of transformer_params_from_sd: unstack [L, ...] leaves."""
+    names = {
+        "in_proj": "self_attn.in_proj.weight",
+        "out_proj": "self_attn.out_proj.weight",
+        "norm1_scale": "norm1.weight",
+        "norm1_bias": "norm1.bias",
+        "norm2_scale": "norm2.weight",
+        "norm2_bias": "norm2.bias",
+        "w1": "linear1.weight",
+        "w2": "linear2.weight",
+        "ls1": "layer_scale_1.scale",
+        "ls2": "layer_scale_2.scale",
+    }
+    sd: dict[str, Array] = {}
+    for key, suffix in names.items():
+        if key not in p:
+            continue
+        stacked = np.asarray(p[key])
+        for i in range(stacked.shape[0]):
+            sd[f"{prefix}layers.{i}.{suffix}"] = stacked[i]
+    return sd
+
+
+def flow_lm_params_to_sd(params: dict, prefix: str = "") -> dict[str, Array]:
+    sd: dict[str, Array] = {
+        prefix + "conditioner.embed.weight": np.asarray(params["conditioner_embed"]),
+        prefix + "input_linear.weight": np.asarray(params["input_linear"]),
+        prefix + "bos_emb": np.asarray(params["bos_emb"]),
+        prefix + "emb_std": np.asarray(params["emb_std"]),
+        prefix + "emb_mean": np.asarray(params["emb_mean"]),
+        prefix + "out_norm.weight": np.asarray(params["out_norm"]["w"]),
+        prefix + "out_norm.bias": np.asarray(params["out_norm"]["b"]),
+        prefix + "out_eos.weight": np.asarray(params["out_eos"]["w"]),
+        prefix + "out_eos.bias": np.asarray(params["out_eos"]["b"]),
+    }
+    for opt in ("speaker_proj_weight", "bos_before_voice"):
+        if opt in params:
+            sd[prefix + opt] = np.asarray(params[opt])
+    sd.update(transformer_params_to_sd(params["transformer"], prefix + "transformer."))
+
+    fp = params["flow_net"]
+    n_time = np.asarray(fp["time_embed"]["rms_alpha"]).shape[0]
+    for i in range(n_time):
+        sd[f"{prefix}flow_net.time_embed.{i}.freqs"] = np.asarray(fp["freqs"])
+        sd[f"{prefix}flow_net.time_embed.{i}.mlp.0.weight"] = np.asarray(
+            fp["time_embed"]["l0"]["w"][i])
+        sd[f"{prefix}flow_net.time_embed.{i}.mlp.0.bias"] = np.asarray(
+            fp["time_embed"]["l0"]["b"][i])
+        sd[f"{prefix}flow_net.time_embed.{i}.mlp.2.weight"] = np.asarray(
+            fp["time_embed"]["l1"]["w"][i])
+        sd[f"{prefix}flow_net.time_embed.{i}.mlp.2.bias"] = np.asarray(
+            fp["time_embed"]["l1"]["b"][i])
+        sd[f"{prefix}flow_net.time_embed.{i}.mlp.3.alpha"] = np.asarray(
+            fp["time_embed"]["rms_alpha"][i])
+    sd[prefix + "flow_net.cond_embed.weight"] = np.asarray(fp["cond_embed"]["w"])
+    sd[prefix + "flow_net.cond_embed.bias"] = np.asarray(fp["cond_embed"]["b"])
+    sd[prefix + "flow_net.input_proj.weight"] = np.asarray(fp["input_proj"]["w"])
+    sd[prefix + "flow_net.input_proj.bias"] = np.asarray(fp["input_proj"]["b"])
+    n_blocks = np.asarray(fp["res_blocks"]["ln"]["w"]).shape[0]
+    for i in range(n_blocks):
+        rb = fp["res_blocks"]
+        sd[f"{prefix}flow_net.res_blocks.{i}.in_ln.weight"] = np.asarray(rb["ln"]["w"][i])
+        sd[f"{prefix}flow_net.res_blocks.{i}.in_ln.bias"] = np.asarray(rb["ln"]["b"][i])
+        sd[f"{prefix}flow_net.res_blocks.{i}.mlp.0.weight"] = np.asarray(rb["mlp0"]["w"][i])
+        sd[f"{prefix}flow_net.res_blocks.{i}.mlp.0.bias"] = np.asarray(rb["mlp0"]["b"][i])
+        sd[f"{prefix}flow_net.res_blocks.{i}.mlp.2.weight"] = np.asarray(rb["mlp1"]["w"][i])
+        sd[f"{prefix}flow_net.res_blocks.{i}.mlp.2.bias"] = np.asarray(rb["mlp1"]["b"][i])
+        sd[f"{prefix}flow_net.res_blocks.{i}.adaLN_modulation.1.weight"] = np.asarray(
+            rb["ada"]["w"][i])
+        sd[f"{prefix}flow_net.res_blocks.{i}.adaLN_modulation.1.bias"] = np.asarray(
+            rb["ada"]["b"][i])
+    sd[prefix + "flow_net.final_layer.linear.weight"] = np.asarray(fp["final"]["linear"]["w"])
+    sd[prefix + "flow_net.final_layer.linear.bias"] = np.asarray(fp["final"]["linear"]["b"])
+    sd[prefix + "flow_net.final_layer.adaLN_modulation.1.weight"] = np.asarray(
+        fp["final"]["ada"]["w"])
+    sd[prefix + "flow_net.final_layer.adaLN_modulation.1.bias"] = np.asarray(
+        fp["final"]["ada"]["b"])
+    return sd
+
+
+def mimi_params_to_sd(specs, params: dict, prefix: str = "") -> dict[str, Array]:
+    sd: dict[str, Array] = {}
+
+    def put_conv(name: str, cp) -> None:
+        sd[name + ".weight"] = np.asarray(cp.weight)
+        if cp.bias is not None:
+            sd[name + ".bias"] = np.asarray(cp.bias)
+
+    for part, spec in (("encoder", specs.encoder), ("decoder", specs.decoder)):
+        for i, (kind, op) in enumerate(spec.ops):
+            key = str(i)
+            if kind in ("conv", "convtr"):
+                attr = "conv" if kind == "conv" else "convtr"
+                put_conv(f"{prefix}{part}.model.{i}.{attr}", params[part][key])
+            elif kind == "resblock":
+                for j in range(len(op.convs)):
+                    put_conv(f"{prefix}{part}.model.{i}.block.{2 * j + 1}.conv",
+                             params[part][key][j])
+    for tname in ("encoder_transformer", "decoder_transformer"):
+        sd.update(transformer_params_to_sd(
+            params[tname], f"{prefix}{tname}.transformer."))
+    put_conv(prefix + "quantizer.output_proj", params["quantizer_out_proj"])
+    put_conv(prefix + "downsample.conv.conv", params["downsample"])
+    put_conv(prefix + "upsample.convtr.convtr", params["upsample"])
+    return sd
+
+
+def save_combined_checkpoint(dest, flow_params: dict, mimi_specs, mimi_params: dict):
+    """Write a whole-model safetensors identical in naming to the published
+    checkpoints ("flow_lm.*" + "mimi.*"), loadable by this framework AND by the
+    reference (tts_model.py:201-210 strict load)."""
+    from safetensors.numpy import save_file
+
+    sd = flow_lm_params_to_sd(flow_params, "flow_lm.")
+    sd.update(mimi_params_to_sd(mimi_specs, mimi_params, "mimi."))
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, str(dest))
+
+
 def flow_lm_params_from_sd(model_cfg, flow_cfg, sd: StateDict, prefix: str = "") -> dict:
     """model_cfg: TransformerConfig of the backbone; flow_cfg: FlowMLPConfig."""
     params = {

@@ -53,20 +53,29 @@ def flow_lm_param_specs(params: dict) -> dict:
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def state_specs(state) -> Any:
-    """Decode/stack state: batch axis over 'data', heads over 'model'.
+def state_specs(state, model_axis: bool = False) -> Any:
+    """Decode-state sharding: the batch axis over 'data' (heads over 'model'
+    when tensor parallelism is on).
 
-    StackState k/v are [L, B, C, H, Dh]; offset is [B].
+    Leaves: StackState k/v [L, B, C, H, Dh]; offsets/flags [B]; conv states
+    [B, C, T].
     """
 
     def spec(leaf):
         if leaf.ndim == 5:
-            return P(None, "data", None, "model", None)
+            return P(None, "data", None, "model" if model_axis else None, None)
+        if leaf.ndim == 3:
+            return P("data", None, None)
         if leaf.ndim == 1:
             return P("data")
         return P()
 
     return jax.tree.map(spec, state)
+
+
+def shard_decode_state(state, mesh: Mesh, model_axis: bool = False):
+    """Place a decode/voice state pytree batch-sharded on the mesh."""
+    return shard_tree(state, state_specs(state, model_axis), mesh)
 
 
 def shard_tree(tree, specs, mesh: Mesh):

@@ -170,6 +170,7 @@ class TTSModel:
         self.model_recommended_frames_after_eos = config.model_recommended_frames_after_eos
         self._jit_cache: dict[Any, Callable] = {}
         self._voice_state_cache: dict[str, StackState] = {}
+        self.mesh = None  # set via shard_for_mesh for multi-chip DP serving
 
     # ------------------------------------------------------------------ props
 
@@ -450,6 +451,29 @@ class TTSModel:
             )
         return self._voice_state_cache[key]
 
+    # ----------------------------------------------------------------- sharding
+
+    def shard_for_mesh(self, mesh) -> None:
+        """Prepare for multi-chip serving: weights replicated over the mesh,
+        batched decode states sharded over the 'data' axis. Every jitted step
+        then runs SPMD; GSPMD inserts any needed collectives over ICI."""
+        from pocket_tts_tpu.parallel.mesh import replicated
+
+        self.mesh = mesh
+        self.params = replicated(self.params, mesh)
+        self.mimi_params = replicated(self.mimi_params, mesh)
+        self._jit_cache.clear()
+
+    def _maybe_shard_batch(self, lm_state, mimi_state):
+        if self.mesh is None:
+            return lm_state, mimi_state
+        from pocket_tts_tpu.parallel.mesh import shard_decode_state
+
+        return (
+            shard_decode_state(lm_state, self.mesh),
+            shard_decode_state(mimi_state, self.mesh),
+        )
+
     # -------------------------------------------------------------- generation
 
     def _estimate_max_gen_len(self, token_count: int) -> int:
@@ -668,9 +692,10 @@ class TTSModel:
         for i, ts in enumerate(token_lists):
             tok[i, : len(ts)] = ts
         true_len = jnp.asarray(token_counts, jnp.int32)
+        mimi_state = init_decoder_state(self.mimi_specs, B)
+        lm_state, mimi_state = self._maybe_shard_batch(lm_state, mimi_state)
         lm_state = self._text_prompt_fn()(self.params, lm_state, jnp.asarray(tok), true_len)
 
-        mimi_state = init_decoder_state(self.mimi_specs, B)
         noise_fn = noise_source or NoiseSource(self.gen, seed)
         step_fn = self._fused_step_fn()
 
