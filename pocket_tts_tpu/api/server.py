@@ -39,6 +39,9 @@ INDEX_HTML = """<!doctype html>
 <button id="go">Speak</button>
 <div id="status"></div>
 <script>
+// Streaming playback: read the chunked WAV body, strip the 44-byte header,
+// and schedule int16 PCM chunks into WebAudio as they arrive.
+const SAMPLE_RATE = 24000;
 document.getElementById('go').onclick = async () => {
   const status = document.getElementById('status');
   status.textContent = 'generating…';
@@ -46,12 +49,44 @@ document.getElementById('go').onclick = async () => {
   form.append('text', document.getElementById('text').value);
   const t0 = performance.now();
   const resp = await fetch('/tts', {method: 'POST', body: form});
-  const buf = await resp.arrayBuffer();
-  status.textContent = `received in ${((performance.now()-t0)/1000).toFixed(2)}s`;
-  const ctx = new AudioContext();
-  const audio = await ctx.decodeAudioData(buf);
-  const src = ctx.createBufferSource();
-  src.buffer = audio; src.connect(ctx.destination); src.start();
+  const reader = resp.body.getReader();
+  const ctx = new AudioContext({sampleRate: SAMPLE_RATE});
+  let nextTime = ctx.currentTime + 0.1;
+  let skipped = 0, carry = new Uint8Array(0), first = true;
+  const parts = [];
+  while (true) {
+    const {done, value} = await reader.read();
+    if (done) break;
+    parts.push(value);
+    let buf = new Uint8Array(carry.length + value.length);
+    buf.set(carry); buf.set(value, carry.length);
+    if (skipped < 44) {                        // WAV header
+      const take = Math.min(44 - skipped, buf.length);
+      buf = buf.subarray(take); skipped += take;
+    }
+    const usable = buf.length - (buf.length % 2);
+    carry = buf.subarray(usable);
+    if (usable === 0) continue;
+    if (first) {
+      status.textContent = `first audio in ${((performance.now()-t0)/1000).toFixed(2)}s`;
+      first = false;
+    }
+    const pcm = new Int16Array(buf.buffer.slice(buf.byteOffset, buf.byteOffset + usable));
+    const audioBuf = ctx.createBuffer(1, pcm.length, SAMPLE_RATE);
+    const ch = audioBuf.getChannelData(0);
+    for (let i = 0; i < pcm.length; i++) ch[i] = pcm[i] / 32768;
+    const src = ctx.createBufferSource();
+    src.buffer = audioBuf; src.connect(ctx.destination);
+    nextTime = Math.max(nextTime, ctx.currentTime);
+    src.start(nextTime);
+    nextTime += audioBuf.duration;
+  }
+  const blob = new Blob(parts, {type: 'audio/wav'});
+  const a = document.createElement('a');
+  a.href = URL.createObjectURL(blob); a.download = 'tts.wav';
+  a.textContent = 'download wav';
+  status.appendChild(document.createTextNode(' — '));
+  status.appendChild(a);
 };
 </script></body></html>
 """

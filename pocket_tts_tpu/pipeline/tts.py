@@ -237,8 +237,10 @@ class TTSModel:
 
         tokenizer = None
         try:
+            from pocket_tts_tpu.text.native import best_tokenizer
+
             tok_path = download_if_necessary(cfg.flow_lm.lookup_table.tokenizer_path)
-            tokenizer = SentencePieceTokenizer(cfg.flow_lm.lookup_table.n_bins, tok_path)
+            tokenizer = best_tokenizer(cfg.flow_lm.lookup_table.n_bins, tok_path)
         except Exception as e:  # offline or missing
             logger.warning("Tokenizer unavailable (%s); text APIs need token ids.", e)
 
@@ -271,6 +273,15 @@ class TTSModel:
 
         params = jax.tree.map(jnp.asarray, params)
         mimi_params = jax.tree.map(jnp.asarray, mimi_params)
+
+        import os
+
+        if os.environ.get("POCKET_TTS_SAVE_WEIGHTS", "0") == "1":
+            from pocket_tts_tpu.core.weights import save_combined_checkpoint
+
+            save_combined_checkpoint("./model.safetensors", params, mimi_specs,
+                                     mimi_params)
+            logger.info("Saved model weights to ./model.safetensors")
 
         model = cls(specs, mimi_specs, params, mimi_params, tokenizer, cfg, gen,
                     origin=config_path)
@@ -730,6 +741,31 @@ class TTSModel:
             n = min(int(end_step[b]), stacked.shape[1])
             out.append(stacked[b, :n].reshape(-1))
         return out
+
+    def generate_audio_batch_from_texts(
+        self,
+        model_states: list[StackState] | StackState,
+        texts: list[str],
+        frames_after_eos: int | None = None,
+        seed: int | None = None,
+    ) -> list[np.ndarray]:
+        """Batched generation from raw texts (each text must fit one chunk;
+        long texts should go through generate_audio_stream per utterance)."""
+        token_lists = []
+        guesses = []
+        for text in texts:
+            prepared, guess = prepare_text_prompt(
+                text, self.pad_with_spaces_for_short_inputs, self.remove_semicolons
+            )
+            token_lists.append(self._encode_text(prepared))
+            guesses.append(guess + 2)
+        if frames_after_eos is None:
+            frames_after_eos = self.model_recommended_frames_after_eos
+        if frames_after_eos is None:
+            frames_after_eos = max(guesses)
+        return self.generate_audio_batch(
+            model_states, token_lists, frames_after_eos=frames_after_eos, seed=seed
+        )
 
     @staticmethod
     def _update_row_cuts(eos_flags, s, eos_step, end_step, frames_after_eos):
