@@ -14,10 +14,10 @@ import jax.numpy as jnp
 
 
 def matmul_t(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x @ w.T for plain or int8-quantized weights."""
+    """x @ w.T for plain or int8-quantized weights (output keeps x's dtype)."""
     if isinstance(w, dict) and "q" in w:
         y = x @ w["q"].T.astype(x.dtype)
-        return y * w["s"]
+        return (y * w["s"]).astype(x.dtype)
     return x @ w.T
 
 
