@@ -10,13 +10,49 @@ int8->activation-dtype convert fuses into the dot.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax.numpy as jnp
+
+_MAX_GEMV_ROWS = 32
+
+
+@functools.cache
+def _use_pallas_gemv() -> bool:
+    """Default: Pallas GEMV on real TPU backends, XLA elsewhere (CPU parity
+    tests, interpret-mode overhead). Override with POCKET_TTS_TPU_GEMV=0/1."""
+    env = os.environ.get("POCKET_TTS_TPU_GEMV")
+    if env is not None:
+        return env == "1"
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 def matmul_t(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x @ w.T for plain or int8-quantized weights (output keeps x's dtype)."""
-    if isinstance(w, dict) and "q" in w:
-        y = x @ w["q"].T.astype(x.dtype)
+    """x @ w.T for plain or int8-quantized weights (output keeps x's dtype).
+
+    Decode-shaped calls (few rows) route to the Pallas weight-streaming kernel
+    on TPU; everything else takes the XLA dot.
+    """
+    quant = isinstance(w, dict) and "q" in w
+    W = w["q"] if quant else w
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if (
+        rows <= _MAX_GEMV_ROWS
+        and W.ndim == 2
+        and W.shape[0] % 128 == 0
+        and W.shape[1] % 128 == 0
+        and _use_pallas_gemv()
+    ):
+        from pocket_tts_tpu.ops.gemv import matmul_t_decode
+
+        return matmul_t_decode(x, w)
+    if quant:
+        y = x @ W.T.astype(x.dtype)
         return (y * w["s"]).astype(x.dtype)
     return x @ w.T
 

@@ -181,6 +181,11 @@ class TTSModel:
     eos_threshold = property(lambda self: self.gen.eos_threshold)
 
     @property
+    def _dtype(self):
+        w = self.params["input_linear"]
+        return (w["q"] if isinstance(w, dict) else w).dtype
+
+    @property
     def sample_rate(self) -> int:
         return self.config.mimi.sample_rate
 
@@ -209,11 +214,14 @@ class TTSModel:
         eos_threshold: float = DEFAULT_EOS_THRESHOLD,
         quantize: bool = False,
         allow_random_init: bool = False,
+        param_dtype: str = "float32",
     ) -> "TTSModel":
         """Load a pre-trained TTS model (see reference tts_model.py:232-315).
 
         `allow_random_init=True` builds the model with random weights when no
         checkpoint is reachable (offline development / benchmarking).
+        `param_dtype`: "float32" (reference-parity) or "bfloat16" (serving; the
+        flow head and all norm/softmax math stay f32 either way).
         """
         if config is not None and language is not None:
             raise ValueError("Cannot specify both config and language.")
@@ -273,6 +281,11 @@ class TTSModel:
 
         params = jax.tree.map(jnp.asarray, params)
         mimi_params = jax.tree.map(jnp.asarray, mimi_params)
+        if param_dtype != "float32":
+            target = jnp.dtype(param_dtype)
+            cast = lambda x: x.astype(target) if x.dtype == jnp.float32 else x  # noqa: E731
+            params = jax.tree.map(cast, params)
+            mimi_params = jax.tree.map(cast, mimi_params)
 
         import os
 
@@ -377,7 +390,7 @@ class TTSModel:
     # ------------------------------------------------------------- voice state
 
     def init_blank_state(self, batch_size: int = 1, capacity: int = 256) -> StackState:
-        return init_flow_lm_state(self.specs, batch_size, capacity)
+        return init_flow_lm_state(self.specs, batch_size, capacity, self._dtype)
 
     def get_state_for_audio_prompt(
         self, audio_conditioning: str | Path | np.ndarray, truncate: bool = False
@@ -446,7 +459,7 @@ class TTSModel:
         pad_to = _bucket(prompt_len, PROMPT_BUCKETS)
         cond = jnp.pad(cond, ((0, 0), (0, pad_to - prompt_len), (0, 0)))
         capacity = _bucket(prompt_len, CAPACITY_BUCKETS)
-        state = init_flow_lm_state(self.specs, B, capacity)
+        state = init_flow_lm_state(self.specs, B, capacity, self._dtype)
         true_len = jnp.full((B,), prompt_len, jnp.int32)
         return self._audio_prompt_fn()(self.params, state, cond, true_len)
 
@@ -549,7 +562,7 @@ class TTSModel:
 
         lm_state = expand_state(model_state, capacity)
         lm_state = self._prompt_text_tokens(lm_state, tokens)
-        mimi_state = init_decoder_state(self.mimi_specs, 1)
+        mimi_state = init_decoder_state(self.mimi_specs, 1, self._dtype)
 
         B = lm_state.offset.shape[0]
         ldim = self.specs.ldim
@@ -703,7 +716,7 @@ class TTSModel:
         for i, ts in enumerate(token_lists):
             tok[i, : len(ts)] = ts
         true_len = jnp.asarray(token_counts, jnp.int32)
-        mimi_state = init_decoder_state(self.mimi_specs, B)
+        mimi_state = init_decoder_state(self.mimi_specs, B, self._dtype)
         lm_state, mimi_state = self._maybe_shard_batch(lm_state, mimi_state)
         lm_state = self._text_prompt_fn()(self.params, lm_state, jnp.asarray(tok), true_len)
 
