@@ -140,7 +140,9 @@ def decode_step(
     wdtype = params["input_linear"].dtype
     latent = jnp.where(is_bos[:, None], params["bos_emb"], prev_latent.astype(wdtype))
     x = (latent @ params["input_linear"].T)[:, None, :]  # [B, 1, D]
-    h, state = transformer_apply(specs.transformer, params["transformer"], x, state)
+    h, state = transformer_apply(
+        specs.transformer, params["transformer"], x, state, unroll=True
+    )
     # heads always run in f32 (matches reference flow_lm.py:125 f32 cast; the
     # flow head stays f32 even when the backbone is bf16/int8)
     h = layer_norm(h[:, -1].astype(jnp.float32), params["out_norm"]["w"],

@@ -154,7 +154,12 @@ def init_mimi_params(specs: MimiSpecs, key, dtype=jnp.float32) -> dict:
 
 
 def init_decoder_state(specs: MimiSpecs, batch_size: int, dtype=jnp.float32) -> dict:
-    cap = (specs.transformer.context or 256) + specs.downsample_stride + RING_SLACK
+    # capacity: covers the attention window + one write block, rounded up to a
+    # multiple of the per-frame write length so ring writes never straddle the
+    # wrap point (single dynamic_update_slice, see nn/attention._write_ring)
+    stride = specs.downsample_stride
+    cap = (specs.transformer.context or 256) + stride + RING_SLACK
+    cap = ((cap + stride - 1) // stride) * stride
     return {
         "upsample": init_conv_tr_state(specs.upsample_spec, batch_size, dtype),
         "transformer": init_stack_state(specs.transformer, batch_size, cap, dtype),

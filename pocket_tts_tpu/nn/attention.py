@@ -30,8 +30,23 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+import functools
+import os
+
 from pocket_tts_tpu.nn.linear import matmul_t
 from pocket_tts_tpu.nn.rope import apply_rope
+
+
+@functools.cache
+def _use_flash_decode() -> bool:
+    """Pallas decode attention on real TPU backends (POCKET_TTS_TPU_FLASH=0/1
+    overrides); XLA path everywhere else and under tests."""
+    env = os.environ.get("POCKET_TTS_TPU_FLASH")
+    if env is not None:
+        return env == "1"
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 class KVCache(NamedTuple):
@@ -93,15 +108,27 @@ def _write_linear(cache: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray) -> 
 
 
 def _write_ring(cache: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
-    """Wrap-around write: roll so the write slot lands at 0, write, roll back."""
+    """Wrap-around write at offset % C.
+
+    Fast path: when the write length divides the capacity (the streaming codec
+    always writes aligned 16-step blocks into a capacity chosen as a multiple of
+    16, models/mimi.py), a block can never straddle the wrap point, so the write
+    is a single dynamic_update_slice. Otherwise fall back to roll-write-unroll
+    (two full-cache rewrites — avoid by sizing capacities accordingly).
+    """
     new = new.astype(cache.dtype)
     C = cache.shape[1]
+    T = new.shape[1]
 
-    def one(c, n, o):
-        slot = jnp.mod(o, C)
-        rolled = jnp.roll(c, -slot, axis=0)
-        rolled = jax.lax.dynamic_update_slice(rolled, n, (0, 0, 0))
-        return jnp.roll(rolled, slot, axis=0)
+    if C % T == 0:
+        def one(c, n, o):
+            return jax.lax.dynamic_update_slice(c, n, (jnp.mod(o, C), 0, 0))
+    else:
+        def one(c, n, o):
+            slot = jnp.mod(o, C)
+            rolled = jnp.roll(c, -slot, axis=0)
+            rolled = jax.lax.dynamic_update_slice(rolled, n, (0, 0, 0))
+            return jnp.roll(rolled, slot, axis=0)
 
     return jax.vmap(one)(cache, new, offset)
 
@@ -146,7 +173,14 @@ def mha_step(
         new_v = _write_linear(cache.v, v, offset)
         pos_k = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, C))
 
-    pos_q = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-    out = attend(q, new_k, new_v, pos_q, pos_k, context)
+    if T == 1 and context is None and not ring and _use_flash_decode():
+        # single-query decode over the linear cache: one Pallas kernel instead
+        # of the logits/mask/softmax/weighted-sum kernel chain
+        from pocket_tts_tpu.ops.flash_decode import flash_decode
+
+        out = flash_decode(q[:, 0], new_k, new_v, offset)[:, None]
+    else:
+        pos_q = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        out = attend(q, new_k, new_v, pos_q, pos_k, context)
     out = out.reshape(B, T, D)
     return matmul_t(out, out_proj), KVCache(new_k, new_v)

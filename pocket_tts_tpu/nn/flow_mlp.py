@@ -143,7 +143,7 @@ def flow_mlp_apply(
         h = _apply_linear(p["mlp1"], jax.nn.silu(_apply_linear(p["mlp0"], h)))
         return x + gate * h, None
 
-    x, _ = jax.lax.scan(block, x, params["res_blocks"])
+    x, _ = jax.lax.scan(block, x, params["res_blocks"], unroll=True)
 
     fp = params["final"]
     shift, scale = jnp.split(_apply_linear(fp["ada"], jax.nn.silu(y)), 2, axis=-1)

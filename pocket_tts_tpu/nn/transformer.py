@@ -127,11 +127,15 @@ def transformer_apply(
     *,
     ring: bool = False,
     increment: int | None = None,
+    unroll: int | bool = False,
 ) -> tuple[jnp.ndarray, StackState]:
     """Run the full stack on x: [B, T, D], updating every layer's cache.
 
     `increment`: how far to advance the shared offset (true length of x when the
     input is right-padded; defaults to T).
+    `unroll`: lax.scan unroll factor over layers — True for decode steps (lets
+    XLA overlap the many small per-layer ops), False for prompt/one-shot passes
+    (smaller compile).
     """
     T = x.shape[1]
 
@@ -141,6 +145,8 @@ def transformer_apply(
         h, cache = _layer_step(cfg, h, p, KVCache(ck, cv), state.offset, ring)
         return h, (cache.k, cache.v)
 
-    h, (new_k, new_v) = jax.lax.scan(body, x, (params, state.k, state.v))
+    h, (new_k, new_v) = jax.lax.scan(
+        body, x, (params, state.k, state.v), unroll=unroll
+    )
     inc = T if increment is None else increment
     return h, StackState(k=new_k, v=new_v, offset=state.offset + inc)
