@@ -141,12 +141,24 @@ def make_handler(model, default_voice: str):
         def log_message(self, fmt, *args):
             logger.info("%s " + fmt, self.address_string(), *args)
 
+        def _cors(self):
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+            self.send_header("Access-Control-Allow-Headers", "Content-Type")
+
         def _send(self, code: int, body: bytes, ctype: str = "text/plain"):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            self._cors()
             self.end_headers()
             self.wfile.write(body)
+
+        def do_OPTIONS(self):
+            self.send_response(204)
+            self._cors()
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
         def do_GET(self):
             if self.path == "/health":
@@ -200,6 +212,7 @@ def make_handler(model, default_voice: str):
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")
                     self.send_header("Transfer-Encoding", "chunked")
+                    self._cors()
                     self.end_headers()
 
                     writer = StreamingWAVWriter(_QueueWriter(self.wfile),
