@@ -39,14 +39,12 @@ from pocket_tts_tpu.nn.rope import apply_rope
 
 @functools.cache
 def _use_flash_decode() -> bool:
-    """Pallas decode attention on real TPU backends (POCKET_TTS_TPU_FLASH=0/1
-    overrides); XLA path everywhere else and under tests."""
-    env = os.environ.get("POCKET_TTS_TPU_FLASH")
-    if env is not None:
-        return env == "1"
-    import jax
+    """Pallas decode attention, opt-in via POCKET_TTS_TPU_FLASH=1.
 
-    return jax.default_backend() not in ("cpu",)
+    Off by default: the XLA decode attention is already fast at these cache
+    sizes, and the kernel's scalar-prefetch grid has shown compile stalls on
+    tunneled backends. The kernel stays parity-tested (interpret mode)."""
+    return os.environ.get("POCKET_TTS_TPU_FLASH") == "1"
 
 
 class KVCache(NamedTuple):
