@@ -477,14 +477,27 @@ class TTSModel:
 
     # ----------------------------------------------------------------- sharding
 
-    def shard_for_mesh(self, mesh) -> None:
-        """Prepare for multi-chip serving: weights replicated over the mesh,
-        batched decode states sharded over the 'data' axis. Every jitted step
-        then runs SPMD; GSPMD inserts any needed collectives over ICI."""
-        from pocket_tts_tpu.parallel.mesh import replicated
+    def shard_for_mesh(self, mesh, tensor_parallel: bool = False) -> None:
+        """Prepare for multi-chip serving.
+
+        DP (always): batched decode states shard over the 'data' axis.
+        TP (`tensor_parallel=True`, for the 24-layer variants): the FlowLM
+        backbone's megatron axes and the KV-cache head axis shard over 'model';
+        everything else (flow head, Mimi) is replicated. GSPMD inserts the ICI
+        collectives (one reduce per attention/FFN residual).
+        """
+        from pocket_tts_tpu.parallel.mesh import (
+            flow_lm_param_specs,
+            replicated,
+            shard_tree,
+        )
 
         self.mesh = mesh
-        self.params = replicated(self.params, mesh)
+        self._tp = tensor_parallel
+        if tensor_parallel:
+            self.params = shard_tree(self.params, flow_lm_param_specs(self.params), mesh)
+        else:
+            self.params = replicated(self.params, mesh)
         self.mimi_params = replicated(self.mimi_params, mesh)
         self._jit_cache.clear()
 
@@ -493,8 +506,9 @@ class TTSModel:
             return lm_state, mimi_state
         from pocket_tts_tpu.parallel.mesh import shard_decode_state
 
+        tp = getattr(self, "_tp", False)
         return (
-            shard_decode_state(lm_state, self.mesh),
+            shard_decode_state(lm_state, self.mesh, model_axis=tp),
             shard_decode_state(mimi_state, self.mesh),
         )
 
@@ -561,8 +575,9 @@ class TTSModel:
         capacity = _bucket(required, CAPACITY_BUCKETS)
 
         lm_state = expand_state(model_state, capacity)
-        lm_state = self._prompt_text_tokens(lm_state, tokens)
         mimi_state = init_decoder_state(self.mimi_specs, 1, self._dtype)
+        lm_state, mimi_state = self._maybe_shard_batch(lm_state, mimi_state)
+        lm_state = self._prompt_text_tokens(lm_state, tokens)
 
         B = lm_state.offset.shape[0]
         ldim = self.specs.ldim
