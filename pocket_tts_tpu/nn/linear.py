@@ -20,14 +20,13 @@ _MAX_GEMV_ROWS = 32
 
 @functools.cache
 def _use_pallas_gemv() -> bool:
-    """Default: Pallas GEMV on real TPU backends, XLA elsewhere (CPU parity
-    tests, interpret-mode overhead). Override with POCKET_TTS_TPU_GEMV=0/1."""
-    env = os.environ.get("POCKET_TTS_TPU_GEMV")
-    if env is not None:
-        return env == "1"
-    import jax
+    """Pallas GEMV, opt-in via POCKET_TTS_TPU_GEMV=1.
 
-    return jax.default_backend() not in ("cpu",)
+    Measured on v5e: XLA's dot already streams decode weights at ~990 GB/s
+    (the kernel hits 943), so the default stays on the simpler XLA path; the
+    kernel remains available and parity-tested for cases where XLA's GEMV
+    regresses."""
+    return os.environ.get("POCKET_TTS_TPU_GEMV") == "1"
 
 
 def matmul_t(x: jnp.ndarray, w) -> jnp.ndarray:
