@@ -15,8 +15,7 @@ the trees are passed into jit.
 
 from __future__ import annotations
 
-import re
-from typing import Any, Mapping
+from typing import Mapping
 
 import numpy as np
 

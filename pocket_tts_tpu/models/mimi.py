@@ -206,6 +206,7 @@ def decoder_step(
         x.transpose(0, 2, 1),
         state["transformer"],
         ring=True,
+        unroll=True,
     )
     x = out.transpose(0, 2, 1)
     audio, dec_state = seanet_apply(specs.decoder, params["decoder"], x, state["decoder"])

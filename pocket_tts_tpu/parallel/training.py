@@ -13,7 +13,6 @@ Objective (matching the model family's training setup):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

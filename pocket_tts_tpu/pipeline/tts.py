@@ -27,7 +27,6 @@ import logging
 import math
 import time
 from collections import deque
-from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Iterator
 
@@ -55,7 +54,6 @@ from pocket_tts_tpu.default_parameters import (
     MAX_TOKEN_PER_CHUNK,
 )
 from pocket_tts_tpu.io.audio import audio_read, convert_audio
-from pocket_tts_tpu.models import mimi as mimi_lib
 from pocket_tts_tpu.models.flow_lm import (
     FlowLMSpecs,
     build_flow_lm_specs,
