@@ -132,31 +132,50 @@ def measure_first_chunk_latency(model, dtype, capacity: int = 768,
     return float(np.median(times))
 
 
+def _try(fn, label):
+    import sys
+    import traceback
+
+    try:
+        return fn()
+    except Exception:
+        print(f"[bench] {label} failed:", file=sys.stderr)
+        traceback.print_exc()
+        return None
+
+
 def main():
-    results = {}
-
     model_bf16, _ = build_model(jnp.bfloat16, quantize=False)
-    results["bf16_b1"] = measure_throughput(model_bf16, jnp.bfloat16, batch=1)
-    results["bf16_b32"] = measure_throughput(model_bf16, jnp.bfloat16, batch=32)
-    results["first_chunk_ms"] = measure_first_chunk_latency(model_bf16, jnp.bfloat16)
+    bf16_b1 = _try(lambda: measure_throughput(model_bf16, jnp.bfloat16, batch=1),
+                   "bf16_b1")
+    bf16_b32 = _try(lambda: measure_throughput(model_bf16, jnp.bfloat16, batch=32),
+                    "bf16_b32")
+    first_chunk = _try(lambda: measure_first_chunk_latency(model_bf16, jnp.bfloat16),
+                       "first_chunk")
 
-    model_f32, _ = build_model(jnp.float32, quantize=False)
-    results["f32_b1"] = measure_throughput(model_f32, jnp.float32, batch=1)
+    def int8_run():
+        model_int8, _ = build_model(jnp.bfloat16, quantize=True)
+        return measure_throughput(model_int8, jnp.bfloat16, batch=1)
 
-    model_int8, _ = build_model(jnp.float32, quantize=True)
-    results["int8_b1"] = measure_throughput(model_int8, jnp.float32, batch=1)
+    int8_b1 = _try(int8_run, "int8_b1")
 
-    value = results["bf16_b1"]["audio_s_per_s"]
+    def f32_run():
+        model_f32, _ = build_model(jnp.float32, quantize=False)
+        return measure_throughput(model_f32, jnp.float32, batch=1)
+
+    f32_b1 = _try(f32_run, "f32_b1")
+
+    value = bf16_b1["audio_s_per_s"] if bf16_b1 else 0.0
     out = {
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(value, 2),
         "unit": "audio-s/s",
         "vs_baseline": round(value / REFERENCE_RTS, 2),
-        "bf16_b1_frame_ms": round(results["bf16_b1"]["frame_ms"], 3),
-        "f32_b1_audio_s_per_s": round(results["f32_b1"]["audio_s_per_s"], 2),
-        "int8_b1_audio_s_per_s": round(results["int8_b1"]["audio_s_per_s"], 2),
-        "batch32_audio_s_per_s": round(results["bf16_b32"]["audio_s_per_s"], 2),
-        "first_chunk_ms": round(results["first_chunk_ms"], 1),
+        "bf16_b1_frame_ms": round(bf16_b1["frame_ms"], 3) if bf16_b1 else None,
+        "f32_b1_audio_s_per_s": round(f32_b1["audio_s_per_s"], 2) if f32_b1 else None,
+        "int8_b1_audio_s_per_s": round(int8_b1["audio_s_per_s"], 2) if int8_b1 else None,
+        "batch32_audio_s_per_s": round(bf16_b32["audio_s_per_s"], 2) if bf16_b32 else None,
+        "first_chunk_ms": round(first_chunk, 1) if first_chunk else None,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))
