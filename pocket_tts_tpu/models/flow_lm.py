@@ -130,6 +130,7 @@ def decode_step(
     *,
     lsd_steps: int,
     eos_threshold: float,
+    att_len: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, StackState]:
     """One autoregressive step.
 
@@ -141,7 +142,8 @@ def decode_step(
     latent = jnp.where(is_bos[:, None], params["bos_emb"], prev_latent.astype(wdtype))
     x = (latent @ params["input_linear"].T)[:, None, :]  # [B, 1, D]
     h, state = transformer_apply(
-        specs.transformer, params["transformer"], x, state, unroll=True
+        specs.transformer, params["transformer"], x, state, unroll=True,
+        att_len=att_len,
     )
     # heads always run in f32 (matches reference flow_lm.py:125 f32 cast; the
     # flow head stays f32 even when the backbone is bf16/int8)

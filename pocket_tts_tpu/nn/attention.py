@@ -152,10 +152,15 @@ def mha_step(
     context: int | None,
     max_period: float,
     ring: bool = False,
+    att_len: int | None = None,
 ) -> tuple[jnp.ndarray, KVCache]:
     """One streaming attention call: project, rope, write cache, attend, project out.
 
     x: [B, T, D]; offset: [B] int32 — absolute position of x[:, 0] per row.
+    `att_len` (static, linear caches only): attend over just the first att_len
+    slots — a host-chosen bucket >= the write watermark. Cuts KV reads from
+    O(capacity) to O(valid prefix) without changing numerics (slots beyond the
+    watermark are masked out anyway).
     """
     B, T, D = x.shape
     C = cache.k.shape[1]
@@ -171,14 +176,20 @@ def mha_step(
         new_v = _write_linear(cache.v, v, offset)
         pos_k = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, C))
 
+    att_k, att_v, att_pos_k = new_k, new_v, pos_k
+    if att_len is not None and not ring and att_len < C:
+        att_k = new_k[:, :att_len]
+        att_v = new_v[:, :att_len]
+        att_pos_k = pos_k[:, :att_len]
+
     if T == 1 and context is None and not ring and _use_flash_decode():
         # single-query decode over the linear cache: one Pallas kernel instead
         # of the logits/mask/softmax/weighted-sum kernel chain
         from pocket_tts_tpu.ops.flash_decode import flash_decode
 
-        out = flash_decode(q[:, 0], new_k, new_v, offset)[:, None]
+        out = flash_decode(q[:, 0], att_k, att_v, offset)[:, None]
     else:
         pos_q = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        out = attend(q, new_k, new_v, pos_q, pos_k, context)
+        out = attend(q, att_k, att_v, pos_q, att_pos_k, context)
     out = out.reshape(B, T, D)
     return matmul_t(out, out_proj), KVCache(new_k, new_v)

@@ -96,6 +96,7 @@ def _layer_step(
     cache: KVCache,
     offset: jnp.ndarray,
     ring: bool,
+    att_len: int | None = None,
 ) -> tuple[jnp.ndarray, KVCache]:
     h = layer_norm(x, p["norm1_scale"], p["norm1_bias"])
     attn_out, cache = mha_step(
@@ -108,6 +109,7 @@ def _layer_step(
         context=cfg.context,
         max_period=cfg.max_period,
         ring=ring,
+        att_len=att_len,
     )
     if "ls1" in p:
         attn_out = attn_out * p["ls1"]
@@ -128,6 +130,7 @@ def transformer_apply(
     ring: bool = False,
     increment: int | None = None,
     unroll: int | bool = False,
+    att_len: int | None = None,
 ) -> tuple[jnp.ndarray, StackState]:
     """Run the full stack on x: [B, T, D], updating every layer's cache.
 
@@ -142,7 +145,7 @@ def transformer_apply(
     def body(carry, xs):
         h = carry
         p, ck, cv = xs
-        h, cache = _layer_step(cfg, h, p, KVCache(ck, cv), state.offset, ring)
+        h, cache = _layer_step(cfg, h, p, KVCache(ck, cv), state.offset, ring, att_len)
         return h, (cache.k, cache.v)
 
     h, (new_k, new_v) = jax.lax.scan(

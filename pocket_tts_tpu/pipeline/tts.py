@@ -169,6 +169,9 @@ class TTSModel:
         self._jit_cache: dict[Any, Callable] = {}
         self._voice_state_cache: dict[str, StackState] = {}
         self.mesh = None  # set via shard_for_mesh for multi-chip DP serving
+        # attend only over a bucketed valid prefix of the KV cache (cuts KV
+        # reads early in a generation); costs one extra compile per bucket
+        self.att_bucketing = True
 
     # ------------------------------------------------------------------ props
 
@@ -325,7 +328,7 @@ class TTSModel:
 
         return self._jit("audio_prompt", lambda: jax.jit(run))
 
-    def _fused_step_fn(self):
+    def _fused_step_fn(self, att_len: int | None = None):
         """(lm_state, mimi_state, prev_latent, is_bos, noise) -> one 80 ms frame."""
 
         def run(params, mimi_params, lm_state, mimi_state, prev_latent, is_bos, noise):
@@ -333,6 +336,7 @@ class TTSModel:
                 self.specs, params, lm_state, prev_latent, is_bos, noise,
                 lsd_steps=self.gen.lsd_decode_steps,
                 eos_threshold=self.gen.eos_threshold,
+                att_len=att_len,
             )
             denorm = latent * params["emb_std"] + params["emb_mean"]
             quantized = project_latent(self.mimi_specs, mimi_params, denorm[:, :, None])
@@ -341,10 +345,10 @@ class TTSModel:
             )
             return latent, eos, audio, lm_state, mimi_state
 
-        key = ("fused_step", self.gen.lsd_decode_steps, self.gen.eos_threshold)
+        key = ("fused_step", att_len, self.gen.lsd_decode_steps, self.gen.eos_threshold)
         return self._jit(key, lambda: jax.jit(run, donate_argnums=(2, 3)))
 
-    def _multi_step_fn(self, block: int):
+    def _multi_step_fn(self, block: int, att_len: int | None = None):
         """K frames per dispatch via lax.scan — amortizes host->device dispatch.
 
         Returns (latents [K,B,ldim], eos [K,B], audio [K,B,1,1920], states)."""
@@ -357,6 +361,7 @@ class TTSModel:
                     self.specs, params, lm_state, prev, is_bos, step_noise,
                     lsd_steps=self.gen.lsd_decode_steps,
                     eos_threshold=self.gen.eos_threshold,
+                    att_len=att_len,
                 )
                 denorm = latent * params["emb_std"] + params["emb_mean"]
                 quantized = project_latent(self.mimi_specs, mimi_params,
@@ -375,7 +380,8 @@ class TTSModel:
             latents, eos, audio = ys
             return latents, eos, audio, lm_state, mimi_state
 
-        key = ("multi_step", block, self.gen.lsd_decode_steps, self.gen.eos_threshold)
+        key = ("multi_step", block, att_len, self.gen.lsd_decode_steps,
+               self.gen.eos_threshold)
         return self._jit(key, lambda: jax.jit(run, donate_argnums=(2, 3)))
 
     def _encode_fn(self):
@@ -512,6 +518,13 @@ class TTSModel:
 
     # -------------------------------------------------------------- generation
 
+    def _att_bucket(self, needed: int, capacity: int) -> int | None:
+        """Static attention-length bucket covering `needed` valid slots."""
+        if not self.att_bucketing:
+            return None
+        b = ((needed + 127) // 128) * 128
+        return None if b >= capacity else b
+
     def _estimate_max_gen_len(self, token_count: int) -> int:
         gen_len_sec = token_count / self._TOKENS_PER_SECOND_ESTIMATE + self._GEN_SECONDS_PADDING
         return math.ceil(gen_len_sec * self.frame_rate)
@@ -615,18 +628,20 @@ class TTSModel:
                 yield_frames.append(audio[i, 0, 0] if audio.ndim == 4 else audio[0, 0])
             return True
 
+        start_abs = current_end + token_count
         yield_frames: list[np.ndarray] = []
         while frames_started < max_gen_len and not stop:
             K = 1 if frames_started < FIRST_BLOCK_FRAMES else SCAN_BLOCK_FRAMES
+            att = self._att_bucket(start_abs + frames_started + K, capacity)
             if K == 1:
                 noise = jnp.asarray(noise_source((B, ldim)))
-                latent, eos, audio, lm_state, mimi_state = self._fused_step_fn()(
+                latent, eos, audio, lm_state, mimi_state = self._fused_step_fn(att)(
                     self.params, self.mimi_params, lm_state, mimi_state,
                     prev_latent, is_bos, noise,
                 )
             else:
                 noise = jnp.asarray(noise_source((K, B, ldim)))
-                latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(K)(
+                latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(K, att)(
                     self.params, self.mimi_params, lm_state, mimi_state,
                     prev_latent, is_bos, noise,
                 )
@@ -734,7 +749,6 @@ class TTSModel:
         lm_state = self._text_prompt_fn()(self.params, lm_state, jnp.asarray(tok), true_len)
 
         noise_fn = noise_source or NoiseSource(self.gen, seed)
-        step_fn = self._fused_step_fn()
 
         ldim = self.specs.ldim
         prev_latent = jnp.zeros((B, ldim), jnp.float32)
@@ -742,10 +756,12 @@ class TTSModel:
         end_step = np.full((B,), max_gen_len, np.int64)
         frames: list[np.ndarray] = []
         eos_flags: list[np.ndarray] = []
+        start_abs = current_end + max(token_counts)
         for step in range(max_gen_len):
             noise = jnp.asarray(noise_fn((B, ldim)))
             is_bos = jnp.full((B,), step == 0, bool)
-            latent, eos, audio, lm_state, mimi_state = step_fn(
+            att = self._att_bucket(start_abs + step + 1, capacity)
+            latent, eos, audio, lm_state, mimi_state = self._fused_step_fn(att)(
                 self.params, self.mimi_params, lm_state, mimi_state,
                 prev_latent, is_bos, noise,
             )
