@@ -12,6 +12,7 @@ makes tensor-parallel sharding a matter of annotating the stacked leaves.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, NamedTuple
 
 import jax
@@ -33,8 +34,16 @@ class TransformerConfig(NamedTuple):
     layer_scale: float | None = None
 
 
-class StackState(NamedTuple):
-    """KV caches for all layers: k/v [L, B, C, H, Dh]; offset: [B] int32 (per row)."""
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StackState:
+    """KV caches for all layers: k/v [L, B, C, H, Dh]; offset: [B] int32 (per row).
+
+    A mutable pytree (not frozen): the arrays themselves are immutable JAX
+    values, but the holder's fields can be reassigned, which is how the
+    pipeline implements the reference's `copy_state=False` modify-in-place
+    contract (reference tts_model.py:637-638) on top of functional updates.
+    """
 
     k: jnp.ndarray
     v: jnp.ndarray

@@ -12,8 +12,12 @@ step with donated state buffers. The host driver:
   device never waits on the host (`_InflightFrame`); audio for frames past the
   EOS cut is computed but simply never emitted — Mimi is causal, so earlier
   frames are unaffected;
-* keeps JAX arrays immutable, so "copy_state" semantics are free (the voice
-  state is never mutated, decode steps build fresh buffers via donation).
+* keeps JAX arrays immutable: `copy_state=True` is free (the voice state is
+  never mutated; decode steps build fresh buffers via donation), while
+  `copy_state=False` reproduces the reference's modify-in-place contract
+  (tts_model.py:637-638) by writing the post-generation arrays back into the
+  caller's (mutable) StackState holder, with the offset trimmed to exactly the
+  number of AR steps the reference would have executed.
 
 Batched generation (generate_audio_batch) runs B utterances with per-row
 offsets, per-row EOS latching and ragged emission — a capability the reference
@@ -548,8 +552,12 @@ class TTSModel:
     ) -> Iterator[np.ndarray]:
         """Yield [samples] float32 chunks (80 ms each) as they are decoded.
 
-        Long text is split into sentence chunks; each chunk generates against
-        the (immutable) voice state, which bounds KV growth structurally.
+        Long text is split into sentence chunks. With `copy_state=True`
+        (default) every chunk generates against the unmodified voice state,
+        which bounds KV growth structurally. With `copy_state=False` the
+        passed state is modified in place, each chunk continuing from the
+        previous one's end — the reference's accumulate semantics
+        (tts_model.py:637-638).
         """
         if frames_after_eos is None:
             frames_after_eos = self.model_recommended_frames_after_eos
@@ -564,7 +572,8 @@ class TTSModel:
             )
             effective = frames_after_eos if frames_after_eos is not None else guess + 2
             yield from self.generate_audio_stream_from_tokens(
-                model_state, self._encode_text(chunk), effective, noise
+                model_state, self._encode_text(chunk), effective, noise,
+                write_back=not copy_state,
             )
 
     def generate_audio_stream_from_tokens(
@@ -574,13 +583,24 @@ class TTSModel:
         frames_after_eos: int,
         noise_source: Callable,
         max_gen_len: int | None = None,
+        write_back: bool = False,
     ) -> Iterator[np.ndarray]:
         """Single-chunk generation from token ids (B=1). Emission semantics match
-        the reference AR loop exactly (tts_model.py:744-779)."""
+        the reference AR loop exactly (tts_model.py:744-779).
+
+        `write_back=True` reproduces the reference's `copy_state=False`
+        contract: once the generator is drained, `model_state`'s fields are
+        replaced with the post-generation state, its offset advanced by
+        token_count + the number of AR steps the reference loop would have
+        executed (every generated frame incl. the final break step,
+        tts_model.py:744-764). Speculatively decoded frames beyond that point
+        sit past the offset watermark and are never attended.
+        """
         t_start = time.monotonic()
         token_count = len(tokens)
         if max_gen_len is None:
             max_gen_len = self._estimate_max_gen_len(token_count)
+        orig_offset = model_state.offset
         current_end = int(np.asarray(model_state.offset).max())
         required = current_end + token_count + max_gen_len
         capacity = _bucket(required, CAPACITY_BUCKETS)
@@ -603,12 +623,13 @@ class TTSModel:
         eos_step = None
         emitted = 0
         stop = False
+        stop_step = None  # first frame index NOT executed by the reference loop
         frames_started = 0
 
         def emit(block_start, eos_arr, audio_arr):
             """Apply reference emission semantics (tts_model.py:756-764) to a
             block; returns False when generation must stop."""
-            nonlocal eos_step, emitted, stop
+            nonlocal eos_step, emitted, stop, stop_step
             flags = np.asarray(eos_arr)  # [K, B] or [B]
             audio = None
             K = flags.shape[0] if flags.ndim == 2 else 1
@@ -621,6 +642,7 @@ class TTSModel:
                     eos_step = s
                 if eos_step is not None and s >= eos_step + frames_after_eos:
                     stop = True
+                    stop_step = s + 1  # the break step is still executed
                     return False
                 if audio is None:
                     audio = np.asarray(audio_arr)
@@ -671,6 +693,11 @@ class TTSModel:
                 "Maximum generation length reached without EOS; "
                 "this very often indicates an error."
             )
+        if write_back:
+            final_steps = min(stop_step or max_gen_len, max_gen_len)
+            model_state.k = lm_state.k
+            model_state.v = lm_state.v
+            model_state.offset = orig_offset + token_count + final_steps
         dur_ms = emitted * self.samples_per_frame * 1000 / self.sample_rate
         wall_ms = (time.monotonic() - t_start) * 1000
         logger.info(

@@ -121,10 +121,9 @@ def models():
     return cfg, ref_lm, ref_mimi, model
 
 
-def reference_generate(cfg, ref_lm, ref_mimi, voice_wav, tokens, noise_source,
-                       max_gen_len, frames_after_eos):
-    """Mirror of the reference generation loop (tts_model.py:317-779) with
-    injected noise, returning the emitted audio frames."""
+def reference_voice_state(ref_lm, ref_mimi, voice_wav, extra_capacity):
+    """Voice-prompting pass of the reference (tts_model.py:787-905); the state
+    is created with enough capacity for the chunks that follow."""
     with torch.no_grad():
         latent = ref_mimi.encode_to_latent(torch.from_numpy(voice_wav))
         cond = torch.nn.functional.linear(
@@ -132,12 +131,18 @@ def reference_generate(cfg, ref_lm, ref_mimi, voice_wav, tokens, noise_source,
         )
         cond = torch.cat([ref_lm.bos_before_voice, cond], dim=1)
         prompt_len = cond.shape[1]
-        seq_len = prompt_len + len(tokens) + max_gen_len
-        state = init_states(ref_lm, batch_size=1, sequence_length=seq_len)
+        state = init_states(ref_lm, batch_size=1,
+                            sequence_length=prompt_len + extra_capacity)
         ref_lm.transformer(cond, state)
         increment_steps(ref_lm, state, prompt_len)
+        return state
 
-        # text prompt
+
+def reference_ar_from_state(ref_lm, ref_mimi, state, tokens, noise_source,
+                            max_gen_len, frames_after_eos):
+    """Mirror of the reference text-prompt + AR loop (tts_model.py:317-779)
+    with injected noise, mutating `state` in place like copy_state=False."""
+    with torch.no_grad():
         emb = ref_lm.conditioner.embed(torch.tensor(tokens)[None])
         ref_lm.transformer(emb, state)
         increment_steps(ref_lm, state, len(tokens))
@@ -167,7 +172,16 @@ def reference_generate(cfg, ref_lm, ref_mimi, voice_wav, tokens, noise_source,
             increment_steps(ref_mimi, mimi_state, 16)
             frames.append(audio[0, 0].numpy())
             prev = lat[:, None, :]
-        return state, np.concatenate(frames) if frames else np.zeros(0, np.float32)
+        return np.concatenate(frames) if frames else np.zeros(0, np.float32)
+
+
+def reference_generate(cfg, ref_lm, ref_mimi, voice_wav, tokens, noise_source,
+                       max_gen_len, frames_after_eos):
+    state = reference_voice_state(ref_lm, ref_mimi, voice_wav,
+                                  len(tokens) + max_gen_len)
+    audio = reference_ar_from_state(ref_lm, ref_mimi, state, tokens,
+                                    noise_source, max_gen_len, frames_after_eos)
+    return state, audio
 
 
 def test_end_to_end_waveform_matches_reference(models):
@@ -193,6 +207,41 @@ def test_end_to_end_waveform_matches_reference(models):
 
     assert ours.shape == ref_audio.shape, (ours.shape, ref_audio.shape)
     np.testing.assert_allclose(ours, ref_audio, rtol=5e-3, atol=2e-3)
+
+
+def test_copy_state_false_continuation_matches_reference(models):
+    """copy_state=False (write_back) reproduces the reference's in-place state
+    accumulation: a second chunk generated from the mutated state yields the
+    same waveform, and the flow-lm offsets agree after every chunk."""
+    cfg, ref_lm, ref_mimi, model = models
+    rng = np.random.default_rng(9)
+    voice_wav = (rng.standard_normal((1, 1, 5000)) * 0.1).astype(np.float32)
+    tok_a, tok_b = [3, 14, 15, 9, 2, 6], [5, 9, 2, 11]
+    gl_a, gl_b, fae = 10, 8, 2
+
+    ref_state = reference_voice_state(
+        ref_lm, ref_mimi, voice_wav, len(tok_a) + gl_a + len(tok_b) + gl_b
+    )
+    ref_a = reference_ar_from_state(ref_lm, ref_mimi, ref_state, tok_a,
+                                    RecordedNoise(21), gl_a, fae)
+    ref_b = reference_ar_from_state(ref_lm, ref_mimi, ref_state, tok_b,
+                                    RecordedNoise(22), gl_b, fae)
+
+    def ref_end(state):
+        return max(int(v["offset"].max()) for v in state.values() if "offset" in v)
+
+    state = model.state_for_audio_array(voice_wav)
+    ours_a = np.concatenate(list(model.generate_audio_stream_from_tokens(
+        state, tok_a, fae, RecordedNoise(21), max_gen_len=gl_a, write_back=True,
+    )) or [np.zeros(0, np.float32)])
+    ours_b = np.concatenate(list(model.generate_audio_stream_from_tokens(
+        state, tok_b, fae, RecordedNoise(22), max_gen_len=gl_b, write_back=True,
+    )) or [np.zeros(0, np.float32)])
+
+    np.testing.assert_allclose(ours_a, ref_a, rtol=5e-3, atol=2e-3)
+    assert ours_b.shape == ref_b.shape, (ours_b.shape, ref_b.shape)
+    np.testing.assert_allclose(ours_b, ref_b, rtol=5e-3, atol=2e-3)
+    assert int(np.asarray(state.offset)[0]) == ref_end(ref_state)
 
 
 def test_voice_state_export_import_roundtrip(models, tmp_path):
