@@ -46,6 +46,7 @@ from pocket_tts_tpu.nn.transformer import (
     init_layer_params,
     init_stack_state,
     transformer_apply,
+    transformer_oneshot,
 )
 
 RING_SLACK = 32  # ring capacity beyond the attention window
@@ -156,7 +157,7 @@ def init_mimi_params(specs: MimiSpecs, key, dtype=jnp.float32) -> dict:
 def init_decoder_state(specs: MimiSpecs, batch_size: int, dtype=jnp.float32) -> dict:
     # capacity: covers the attention window + one write block, rounded up to a
     # multiple of the per-frame write length so ring writes never straddle the
-    # wrap point (single dynamic_update_slice, see nn/attention._write_ring)
+    # wrap point (single dynamic_update_slice, see nn/transformer.append_kv)
     stride = specs.downsample_stride
     cap = (specs.transformer.context or 256) + stride + RING_SLACK
     cap = ((cap + stride - 1) // stride) * stride
@@ -178,11 +179,9 @@ def encode_to_latent(specs: MimiSpecs, params: dict, audio: jnp.ndarray) -> jnp.
     if pad:
         audio = jnp.pad(audio, ((0, 0), (0, 0), (0, pad)))
     emb, _ = seanet_apply(specs.encoder, params["encoder"], audio, None)
-    # one-shot transformer: linear cache over the full sequence
-    B, C, S = emb.shape
-    tstate = init_stack_state(specs.transformer, B, S, emb.dtype)
-    out, _ = transformer_apply(
-        specs.transformer, params["encoder_transformer"], emb.transpose(0, 2, 1), tstate
+    # one-shot transformer over the full (windowed) sequence, no cache
+    out = transformer_oneshot(
+        specs.transformer, params["encoder_transformer"], emb.transpose(0, 2, 1)
     )
     emb = out.transpose(0, 2, 1)
     latent, _ = conv1d_step(emb, specs.downsample_spec, params["downsample"], None)

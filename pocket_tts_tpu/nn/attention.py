@@ -1,64 +1,43 @@
-"""Streaming multi-head attention over a static-capacity KV cache.
+"""Streaming multi-head attention over a static-capacity, append-ordered KV cache.
 
 TPU-native re-design of the reference attention (/root/reference/pocket_tts/modules/
 transformer.py:87-158):
 
-* The cache is a fixed-shape array pair (k, v) of capacity C; new keys/values are
-  written with per-row `lax.dynamic_update_slice` at each row's offset. No NaN
-  sentinels — validity is a pure function of absolute positions.
-* The mask reproduces the reference semantics exactly (`_build_attention_mask`,
-  transformer.py:22-29): key valid iff pos_k >= 0 and 0 <= pos_q - pos_k (< context
-  when a sliding window is configured).
+* The cache is a fixed-shape array pair (k, v) of capacity C plus an explicit
+  per-slot position map `pos` [B, C] (absolute position stored in each slot,
+  -1 = empty/padding). Slots are filled in APPEND ORDER at a write pointer
+  shared by every batch row; each row's true stream position lives in `pos`.
+  Decoupling slot from position is what makes batched decode fast: the write is
+  a single shared-index `dynamic_update_slice` (in-place on donated buffers /
+  loop carries) instead of a per-row scatter, which XLA lowers to a serialized
+  per-row loop on TPU (~12 ms/step at batch 32 for the 6-layer cache).
+* No NaN sentinels — validity is `pos >= 0`; the mask reproduces the reference
+  semantics exactly (`_build_attention_mask`, transformer.py:22-29): key valid
+  iff pos_k >= 0 and 0 <= pos_q - pos_k (< context for sliding windows).
+* Attention is two-piece: logits over the (read-only) cache and over the
+  current in-block keys are computed separately and softmaxed jointly, so the
+  cache is never concatenated with (or rewritten to include) the new block.
+  The caller appends the new K/V outside the layer scan — see
+  nn/transformer.transformer_apply.
 * Offsets are per-row ([B] int32) — unlike the reference, which asserts equal
-  offsets across the batch (transformer.py:12-14), a batch may mix utterances at
-  different stream positions (heterogeneous voices/texts in one compiled step).
-* Two cache layouts:
-  - linear: slot i holds absolute position i (FlowLM, full causal).
-  - ring:   slot i holds position i mod C (Mimi, context-bounded); capacity only
-    needs to cover context + max write length.
+  offsets across the batch (transformer.py:12-14), a batch may mix utterances
+  at different stream positions (heterogeneous voices/texts in one step).
 
-Right-padded prompts need no extra machinery: garbage written above the true
-length lands at positions > every later query position until overwritten, so the
-causal mask already excludes it (offset only advances by the true length).
+Right-padded prompts: in-block garbage keys claim positions offset + t with
+t >= true_len, which exceed every valid query position in the block (causal
+mask excludes them); their cache slots are stored with pos = -1 so no later
+query ever attends them.
 """
 
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-import functools
-import os
-
 from pocket_tts_tpu.nn.linear import matmul_t
-from pocket_tts_tpu.nn.rope import apply_rope
-
-
-@functools.cache
-def _use_flash_decode() -> bool:
-    """Pallas decode attention, opt-in via POCKET_TTS_TPU_FLASH=1.
-
-    Off by default: the XLA decode attention is already fast at these cache
-    sizes, and the kernel's scalar-prefetch grid has shown compile stalls on
-    tunneled backends. The kernel stays parity-tested (interpret mode)."""
-    return os.environ.get("POCKET_TTS_TPU_FLASH") == "1"
-
-
-class KVCache(NamedTuple):
-    """Per-layer static KV cache. k/v: [B, C, H, Dh]."""
-
-    k: jnp.ndarray
-    v: jnp.ndarray
-
-
-def init_cache(
-    batch_size: int, capacity: int, num_heads: int, dim_per_head: int, dtype=jnp.float32
-) -> KVCache:
-    shape = (batch_size, capacity, num_heads, dim_per_head)
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+from pocket_tts_tpu.nn.rope import apply_rope, rotate
 
 
 def qkv_project(x: jnp.ndarray, in_proj, num_heads: int):
@@ -78,7 +57,8 @@ def attend(
     pos_k: jnp.ndarray,
     context: int | None,
 ) -> jnp.ndarray:
-    """Masked SDPA. q: [B,T,H,Dh]; k/v: [B,C,H,Dh]; pos_q: [B,T]; pos_k: [B,C]."""
+    """Single-piece masked SDPA (reference implementation; the production path
+    is `attend_cached`). q: [B,T,H,Dh]; k/v: [B,C,H,Dh]; pos_q: [B,T]; pos_k: [B,C]."""
     dh = q.shape[-1]
     scale = 1.0 / math.sqrt(dh)
     logits = (
@@ -97,99 +77,121 @@ def attend(
     return out.astype(v.dtype)
 
 
-def _write_linear(cache: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
-    """Per-row dynamic_update_slice at each row's offset. cache: [B,C,H,Dh]."""
-    new = new.astype(cache.dtype)
-    return jax.vmap(
-        lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0, 0))
-    )(cache, new, offset)
+def decode_masks(
+    pos_cache: jnp.ndarray,
+    offset: jnp.ndarray,
+    T: int,
+    context: int | None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Attention masks for one step, shared by every layer in the stack.
+
+    Returns (mask_cache [B,1,T,Ca], mask_self [B,1,T,T]) for queries at
+    positions offset + 0..T-1 over cache slots (`pos_cache` [B,Ca]) and the
+    in-block keys (whose positions equal the query positions)."""
+    pos_q = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    dc = pos_q[:, :, None] - pos_cache[:, None, :]  # [B,T,Ca]
+    mc = (pos_cache[:, None, :] >= 0) & (dc >= 0)
+    ds = pos_q[:, :, None] - pos_q[:, None, :]  # [B,T,T]
+    ms = ds >= 0
+    if context is not None:
+        mc &= dc < context
+        ms &= ds < context
+    return mc[:, None], ms[:, None]
 
 
-def _write_ring(cache: jnp.ndarray, new: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
-    """Wrap-around write at offset % C.
+def attend_cached(
+    q: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    mask_cache: jnp.ndarray,
+    mask_self: jnp.ndarray,
+) -> jnp.ndarray:
+    """Joint SDPA over cache slots and the current block, without concatenating
+    the (large) cache with the (small) block.
 
-    Fast path: when the write length divides the capacity (the streaming codec
-    always writes aligned 16-step blocks into a capacity chosen as a multiple of
-    16, models/mimi.py), a block can never straddle the wrap point, so the write
-    is a single dynamic_update_slice. Otherwise fall back to roll-write-unroll
-    (two full-cache rewrites — avoid by sizing capacities accordingly).
+    q/k_new/v_new: [B,T,H,Dh]; cache_k/v: [B,Ca,H,Dh]; masks from
+    `decode_masks`. Returns [B,T,H,Dh].
     """
-    new = new.astype(cache.dtype)
-    C = cache.shape[1]
-    T = new.shape[1]
+    dh = q.shape[-1]
+    scale = 1.0 / math.sqrt(dh)
+    lc = (
+        jnp.einsum("bthd,bchd->bhtc", q, cache_k, preferred_element_type=jnp.float32)
+        * scale
+    )  # [B,H,T,Ca]
+    ls = (
+        jnp.einsum("bthd,bshd->bhts", q, k_new, preferred_element_type=jnp.float32)
+        * scale
+    )  # [B,H,T,T]
 
-    if C % T == 0:
-        def one(c, n, o):
-            return jax.lax.dynamic_update_slice(c, n, (jnp.mod(o, C), 0, 0))
-    else:
-        def one(c, n, o):
-            slot = jnp.mod(o, C)
-            rolled = jnp.roll(c, -slot, axis=0)
-            rolled = jax.lax.dynamic_update_slice(rolled, n, (0, 0, 0))
-            return jnp.roll(rolled, slot, axis=0)
+    neg = jnp.finfo(jnp.float32).min
+    lc = jnp.where(mask_cache, lc, neg)
+    ls = jnp.where(mask_self, ls, neg)
+    logits = jnp.concatenate([lc, ls], axis=-1)  # [B,H,T,Ca+T]
+    weights = jax.nn.softmax(logits, axis=-1)
+    Ca = cache_k.shape[1]
+    wc = weights[..., :Ca].astype(cache_v.dtype)
+    ws = weights[..., Ca:].astype(v_new.dtype)
+    out = jnp.einsum("bhtc,bchd->bthd", wc, cache_v,
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bhts,bshd->bthd", ws, v_new,
+                           preferred_element_type=jnp.float32)
+    return out.astype(v_new.dtype)
 
-    return jax.vmap(one)(cache, new, offset)
 
-
-def ring_positions(offset: jnp.ndarray, T: int, capacity: int) -> jnp.ndarray:
-    """Absolute position per ring slot after writing T entries at `offset` [B].
-
-    Slot s holds the most recent position p < offset+T with p % C == s, or -1."""
-    idx = jnp.arange(capacity, dtype=jnp.int32)
-    total = (offset + T)[:, None]  # [B, 1]
-    last = total - 1 - jnp.mod(total - 1 - idx[None, :], capacity)
-    return jnp.where(last >= 0, last, -1)
+def mha_oneshot(
+    in_proj: jnp.ndarray,
+    out_proj: jnp.ndarray,
+    x: jnp.ndarray,
+    *,
+    num_heads: int,
+    context: int | None,
+    max_period: float,
+) -> jnp.ndarray:
+    """Full causal self-attention over x [B, T, D] with no cache — the one-shot
+    path (voice encoding, training forward). Positions are 0..T-1."""
+    B, T, D = x.shape
+    q, k, v = qkv_project(x, in_proj, num_heads)
+    zero = jnp.zeros((B,), jnp.int32)
+    q, k = apply_rope(q, k, offset=zero, max_period=max_period)
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    out = attend(q, k, v, pos, pos, context).reshape(B, T, D)
+    return matmul_t(out, out_proj)
 
 
 def mha_step(
     in_proj: jnp.ndarray,
     out_proj: jnp.ndarray,
     x: jnp.ndarray,
-    cache: KVCache,
-    offset: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    rope_tabs: tuple[jnp.ndarray, jnp.ndarray],
+    masks: tuple[jnp.ndarray, jnp.ndarray],
     *,
     num_heads: int,
-    context: int | None,
-    max_period: float,
-    ring: bool = False,
     att_len: int | None = None,
-) -> tuple[jnp.ndarray, KVCache]:
-    """One streaming attention call: project, rope, write cache, attend, project out.
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One streaming attention call: project, rope, attend over cache + block.
 
-    x: [B, T, D]; offset: [B] int32 — absolute position of x[:, 0] per row.
-    `att_len` (static, linear caches only): attend over just the first att_len
-    slots — a host-chosen bucket >= the write watermark. Cuts KV reads from
-    O(capacity) to O(valid prefix) without changing numerics (slots beyond the
-    watermark are masked out anyway).
+    Does NOT write the cache — returns (out [B,T,D], k_new, v_new [B,T,H,Dh])
+    for the caller to append once per stack (outside the layer scan).
+
+    `rope_tabs` / `masks` are layer-invariant and precomputed once per step
+    (nn/rope.rope_tables, decode_masks). `att_len` (static): attend over just
+    the first att_len slots — a host-chosen bucket >= the slot watermark. Cuts
+    KV reads from O(capacity) to O(valid prefix) without changing numerics.
     """
     B, T, D = x.shape
-    C = cache.k.shape[1]
+    C = cache_k.shape[1]
     q, k, v = qkv_project(x, in_proj, num_heads)
-    q, k = apply_rope(q, k, offset=offset, max_period=max_period)
+    rotr, roti = rope_tabs
+    q, k = rotate(q, rotr, roti), rotate(k, rotr, roti)
 
-    if ring:
-        new_k = _write_ring(cache.k, k, offset)
-        new_v = _write_ring(cache.v, v, offset)
-        pos_k = ring_positions(offset, T, C)
-    else:
-        new_k = _write_linear(cache.k, k, offset)
-        new_v = _write_linear(cache.v, v, offset)
-        pos_k = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, C))
+    if att_len is not None and att_len < C:
+        cache_k = cache_k[:, :att_len]
+        cache_v = cache_v[:, :att_len]
 
-    att_k, att_v, att_pos_k = new_k, new_v, pos_k
-    if att_len is not None and not ring and att_len < C:
-        att_k = new_k[:, :att_len]
-        att_v = new_v[:, :att_len]
-        att_pos_k = pos_k[:, :att_len]
-
-    if T == 1 and context is None and not ring and _use_flash_decode():
-        # single-query decode over the linear cache: one Pallas kernel instead
-        # of the logits/mask/softmax/weighted-sum kernel chain
-        from pocket_tts_tpu.ops.flash_decode import flash_decode
-
-        out = flash_decode(q[:, 0], att_k, att_v, offset)[:, None]
-    else:
-        pos_q = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        out = attend(q, att_k, att_v, pos_q, att_pos_k, context)
+    out = attend_cached(q, cache_k, cache_v, k, v, masks[0], masks[1])
     out = out.reshape(B, T, D)
-    return matmul_t(out, out_proj), KVCache(new_k, new_v)
+    return matmul_t(out, out_proj), k, v

@@ -19,33 +19,47 @@ _MAX_GEMV_ROWS = 32
 
 
 @functools.cache
-def _use_pallas_gemv() -> bool:
-    """Pallas GEMV, opt-in via POCKET_TTS_TPU_GEMV=1.
+def _gemv_mode() -> str:
+    """POCKET_TTS_TPU_GEMV: "1" = Pallas for all decode GEMVs, "0" = never,
+    unset = "auto" (Pallas only for int8 weights on TPU).
 
-    Measured on v5e: XLA's dot already streams decode weights at ~990 GB/s
-    (the kernel hits 943), so the default stays on the simpler XLA path; the
-    kernel remains available and parity-tested for cases where XLA's GEMV
-    regresses."""
-    return os.environ.get("POCKET_TTS_TPU_GEMV") == "1"
+    Measured on v5e: for PLAIN bf16 weights XLA's dot already streams at
+    ~990 GB/s (the kernel hits 943), so auto keeps the simpler XLA path. For
+    INT8 weights XLA materializes a dequantized copy in HBM every step (read
+    1B + write 2B + read 2B per weight — ~25% slower than plain bf16), while
+    the kernel dequantizes in-register and streams 1 byte/weight."""
+    return {"1": "all", "0": "off"}.get(os.environ.get("POCKET_TTS_TPU_GEMV", ""),
+                                        "auto")
+
+
+@functools.cache
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() not in ("cpu", "gpu")
 
 
 def matmul_t(x: jnp.ndarray, w) -> jnp.ndarray:
     """x @ w.T for plain or int8-quantized weights (output keeps x's dtype).
 
     Decode-shaped calls (few rows) route to the Pallas weight-streaming kernel
-    on TPU; everything else takes the XLA dot.
+    on TPU (always for int8, opt-in for plain weights); everything else takes
+    the XLA dot.
     """
     quant = isinstance(w, dict) and "q" in w
     W = w["q"] if quant else w
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
+    mode = _gemv_mode()
+    use_pallas = mode == "all" or (mode == "auto" and quant)
     if (
-        rows <= _MAX_GEMV_ROWS
+        use_pallas
+        and rows <= _MAX_GEMV_ROWS
         and W.ndim == 2
         and W.shape[0] % 128 == 0
         and W.shape[1] % 128 == 0
-        and _use_pallas_gemv()
+        and _on_tpu()
     ):
         from pocket_tts_tpu.ops.gemv import matmul_t_decode
 

@@ -66,9 +66,11 @@ def state_specs(state, model_axis: bool = False) -> Any:
             return P(None, "data", None, "model" if model_axis else None, None)
         if leaf.ndim == 3:
             return P("data", None, None)
+        if leaf.ndim == 2:
+            return P("data", None)  # StackState.pos [B, C]
         if leaf.ndim == 1:
             return P("data")
-        return P()
+        return P()  # write_pos scalar and friends: replicated
 
     return jax.tree.map(spec, state)
 

@@ -21,7 +21,7 @@ import optax
 
 from pocket_tts_tpu.models.flow_lm import FlowLMSpecs, embed_text_tokens
 from pocket_tts_tpu.nn.flow_mlp import flow_mlp_apply
-from pocket_tts_tpu.nn.transformer import init_stack_state, layer_norm, transformer_apply
+from pocket_tts_tpu.nn.transformer import layer_norm, transformer_oneshot
 
 
 class TrainState(NamedTuple):
@@ -30,10 +30,8 @@ class TrainState(NamedTuple):
 
 
 def full_sequence_backbone(specs: FlowLMSpecs, params: dict, embeddings: jnp.ndarray):
-    """Teacher-forced causal forward over [B, S, D] (fresh linear cache of size S)."""
-    B, S, _ = embeddings.shape
-    state = init_stack_state(specs.transformer, B, S, embeddings.dtype)
-    h, _ = transformer_apply(specs.transformer, params["transformer"], embeddings, state)
+    """Teacher-forced causal forward over [B, S, D] (one-shot, no KV cache)."""
+    h = transformer_oneshot(specs.transformer, params["transformer"], embeddings)
     return layer_norm(h.astype(jnp.float32), params["out_norm"]["w"], params["out_norm"]["b"])
 
 

@@ -466,7 +466,7 @@ class TTSModel:
         prompt_len = cond.shape[1]
         pad_to = _bucket(prompt_len, PROMPT_BUCKETS)
         cond = jnp.pad(cond, ((0, 0), (0, pad_to - prompt_len), (0, 0)))
-        capacity = _bucket(prompt_len, CAPACITY_BUCKETS)
+        capacity = _bucket(pad_to, CAPACITY_BUCKETS)  # slots incl. prompt padding
         state = init_flow_lm_state(self.specs, B, capacity, self._dtype)
         true_len = jnp.full((B,), prompt_len, jnp.int32)
         return self._audio_prompt_fn()(self.params, state, cond, true_len)
@@ -601,8 +601,11 @@ class TTSModel:
         if max_gen_len is None:
             max_gen_len = self._estimate_max_gen_len(token_count)
         orig_offset = model_state.offset
-        current_end = int(np.asarray(model_state.offset).max())
-        required = current_end + token_count + max_gen_len
+        # capacity is measured in SLOTS (write_pos): prompts append their full
+        # padded bucket, so account for pad_to rather than token_count
+        slots_used = int(np.asarray(model_state.write_pos))
+        pad_to = _bucket(token_count, PROMPT_BUCKETS)
+        required = slots_used + pad_to + max_gen_len
         capacity = _bucket(required, CAPACITY_BUCKETS)
 
         lm_state = expand_state(model_state, capacity)
@@ -650,11 +653,11 @@ class TTSModel:
                 yield_frames.append(audio[i, 0, 0] if audio.ndim == 4 else audio[0, 0])
             return True
 
-        start_abs = current_end + token_count
+        start_slots = slots_used + pad_to  # slot watermark after the text prompt
         yield_frames: list[np.ndarray] = []
         while frames_started < max_gen_len and not stop:
             K = 1 if frames_started < FIRST_BLOCK_FRAMES else SCAN_BLOCK_FRAMES
-            att = self._att_bucket(start_abs + frames_started + K, capacity)
+            att = self._att_bucket(start_slots + frames_started + K, capacity)
             if K == 1:
                 noise = jnp.asarray(noise_source((B, ldim)))
                 latent, eos, audio, lm_state, mimi_state = self._fused_step_fn(att)(
@@ -695,9 +698,16 @@ class TTSModel:
             )
         if write_back:
             final_steps = min(stop_step or max_gen_len, max_gen_len)
+            final_offset = orig_offset + token_count + final_steps
             model_state.k = lm_state.k
             model_state.v = lm_state.v
-            model_state.offset = orig_offset + token_count + final_steps
+            # invalidate speculatively decoded slots past the reference's stop
+            # point so continued chunks never attend them
+            model_state.pos = jnp.where(
+                lm_state.pos < final_offset[:, None], lm_state.pos, -1
+            )
+            model_state.offset = final_offset
+            model_state.write_pos = lm_state.write_pos
         dur_ms = emitted * self.samples_per_frame * 1000 / self.sample_rate
         wall_ms = (time.monotonic() - t_start) * 1000
         logger.info(
@@ -751,22 +761,21 @@ class TTSModel:
         token_counts = [len(t) for t in token_lists]
         B = len(token_lists)
         max_gen_len = self._estimate_max_gen_len(max(token_counts))
+        pad_to = _bucket(max(token_counts), PROMPT_BUCKETS)
 
         if isinstance(model_states, list):
-            current_end = max(int(np.asarray(s.offset).max()) for s in model_states)
-            required = current_end + max(token_counts) + max_gen_len
+            slots_used = max(int(np.asarray(s.write_pos)) for s in model_states)
+            required = slots_used + pad_to + max_gen_len
             capacity = _bucket(required, CAPACITY_BUCKETS)
             lm_state = batch_states(model_states, capacity)
         else:
             lm_state = model_states
-            current_end = int(np.asarray(lm_state.offset).max())
-            capacity = _bucket(current_end + max(token_counts) + max_gen_len,
-                               CAPACITY_BUCKETS)
+            slots_used = int(np.asarray(lm_state.write_pos))
+            capacity = _bucket(slots_used + pad_to + max_gen_len, CAPACITY_BUCKETS)
             lm_state = expand_state(lm_state, capacity)
             assert lm_state.offset.shape[0] == B
 
         # right-pad token rows to one bucket; per-row true lengths
-        pad_to = _bucket(max(token_counts), PROMPT_BUCKETS)
         tok = np.zeros((B, pad_to), np.int32)
         for i, ts in enumerate(token_lists):
             tok[i, : len(ts)] = ts
@@ -783,11 +792,11 @@ class TTSModel:
         end_step = np.full((B,), max_gen_len, np.int64)
         frames: list[np.ndarray] = []
         eos_flags: list[np.ndarray] = []
-        start_abs = current_end + max(token_counts)
+        start_slots = slots_used + pad_to
         for step in range(max_gen_len):
             noise = jnp.asarray(noise_fn((B, ldim)))
             is_bos = jnp.full((B,), step == 0, bool)
-            att = self._att_bucket(start_abs + step + 1, capacity)
+            att = self._att_bucket(start_slots + step + 1, capacity)
             latent, eos, audio, lm_state, mimi_state = self._fused_step_fn(att)(
                 self.params, self.mimi_params, lm_state, mimi_state,
                 prev_latent, is_bos, noise,
