@@ -48,6 +48,12 @@ from pocket_tts_tpu.nn.transformer import (
     transformer_apply,
     transformer_oneshot,
 )
+from pocket_tts_tpu.ops.codec_decode import (
+    MAX_FUSED_BATCH,
+    decoder_is_fusable,
+    pack_decoder_params,
+    seanet_decoder_fused,
+)
 
 RING_SLACK = 32  # ring capacity beyond the attention window
 
@@ -195,7 +201,11 @@ def decoder_step(
     state: dict,
 ) -> tuple[jnp.ndarray, dict]:
     """One streaming decode: projected latents [B, outer_dim, T_f] -> audio
-    [B, 1, T_f*16*hop] (1920 samples per frame) and the updated state."""
+    [B, 1, T_f*16*hop] (1920 samples per frame) and the updated state.
+
+    When `params` carries a "decoder_packed" subtree (attached by
+    enable_fused_codec on TPU/bf16 serving), the SEANet stack runs as one
+    fused Pallas kernel instead of the XLA op program."""
     x, up_state = conv_transpose1d_step(
         latent, specs.upsample_spec, params["upsample"], state["upsample"]
     )
@@ -208,8 +218,26 @@ def decoder_step(
         unroll=True,
     )
     x = out.transpose(0, 2, 1)
-    audio, dec_state = seanet_apply(specs.decoder, params["decoder"], x, state["decoder"])
+    packed = params.get("decoder_packed")
+    if packed is not None and x.shape[0] <= MAX_FUSED_BATCH:
+        audio, dec_state = seanet_decoder_fused(
+            specs.decoder, packed, x, state["decoder"]
+        )
+    else:
+        audio, dec_state = seanet_apply(
+            specs.decoder, params["decoder"], x, state["decoder"]
+        )
     return audio, {"upsample": up_state, "transformer": tstate, "decoder": dec_state}
+
+
+def enable_fused_codec(specs: MimiSpecs, params: dict) -> dict:
+    """Attach the pre-packed (kernel-layout) decoder weights so decoder_step
+    takes the fused Pallas path. Pack once per model — packing inside the jit
+    would re-transpose ~8 MB of weights every frame."""
+    if "decoder_packed" in params or not decoder_is_fusable(specs.decoder):
+        return params
+    return {**params,
+            "decoder_packed": pack_decoder_params(specs.decoder, params["decoder"])}
 
 
 def project_latent(specs: MimiSpecs, params: dict, latent: jnp.ndarray) -> jnp.ndarray:

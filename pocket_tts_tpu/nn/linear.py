@@ -20,16 +20,15 @@ _MAX_GEMV_ROWS = 32
 
 @functools.cache
 def _gemv_mode() -> str:
-    """POCKET_TTS_TPU_GEMV: "1" = Pallas for all decode GEMVs, "0" = never,
-    unset = "auto" (Pallas only for int8 weights on TPU).
+    """POCKET_TTS_TPU_GEMV: "1" = Pallas for decode GEMVs, default = never.
 
-    Measured on v5e: for PLAIN bf16 weights XLA's dot already streams at
-    ~990 GB/s (the kernel hits 943), so auto keeps the simpler XLA path. For
-    INT8 weights XLA materializes a dequantized copy in HBM every step (read
-    1B + write 2B + read 2B per weight — ~25% slower than plain bf16), while
-    the kernel dequantizes in-register and streams 1 byte/weight."""
-    return {"1": "all", "0": "off"}.get(os.environ.get("POCKET_TTS_TPU_GEMV", ""),
-                                        "auto")
+    Measured on v5e (full-pipeline A/B, batch-1 decode): XLA's dot wins for
+    both plain and int8 weights — bf16 streams at ~990 GB/s (kernel: 943), and
+    int8 runs 163 vs 147 audio-s/s (XLA fuses the int8->bf16 convert into the
+    dot; routing each GEMV to a separate Pallas launch breaks XLA's fusion
+    across neighboring elementwise ops). The kernel stays parity-tested as
+    insurance against XLA GEMV regressions."""
+    return "all" if os.environ.get("POCKET_TTS_TPU_GEMV") == "1" else "off"
 
 
 @functools.cache
@@ -42,8 +41,8 @@ def _on_tpu() -> bool:
 def matmul_t(x: jnp.ndarray, w) -> jnp.ndarray:
     """x @ w.T for plain or int8-quantized weights (output keeps x's dtype).
 
-    Decode-shaped calls (few rows) route to the Pallas weight-streaming kernel
-    on TPU (always for int8, opt-in for plain weights); everything else takes
+    Decode-shaped calls (few rows) can route to the Pallas weight-streaming
+    kernel on TPU (opt-in via POCKET_TTS_TPU_GEMV=1); everything else takes
     the XLA dot.
     """
     quant = isinstance(w, dict) and "q" in w
@@ -51,10 +50,8 @@ def matmul_t(x: jnp.ndarray, w) -> jnp.ndarray:
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
-    mode = _gemv_mode()
-    use_pallas = mode == "all" or (mode == "auto" and quant)
     if (
-        use_pallas
+        _gemv_mode() == "all"
         and rows <= _MAX_GEMV_ROWS
         and W.ndim == 2
         and W.shape[0] % 128 == 0

@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import math
+import os
 import time
 from collections import deque
 from pathlib import Path
@@ -71,6 +72,7 @@ from pocket_tts_tpu.models.mimi import (
     MimiSpecs,
     build_mimi_specs,
     decoder_step,
+    enable_fused_codec,
     encode_to_latent,
     init_decoder_state,
     init_mimi_params,
@@ -100,6 +102,20 @@ PROMPT_BUCKETS = (8, 16, 32, 64, 128, 192, 256, 384, 512)
 SPECULATIVE_DEPTH = 2  # frames the device runs ahead of the host EOS check
 FIRST_BLOCK_FRAMES = 2  # single-frame dispatches up front (first-chunk latency)
 SCAN_BLOCK_FRAMES = 8  # frames per scan dispatch in steady state
+
+
+def _use_fused_codec(mimi_params: dict) -> bool:
+    """Fused Pallas codec decoder: on for TPU serving in bf16 (the only dtype
+    whose weights fit VMEM); POCKET_TTS_TPU_CODEC=0 disables, =1 forces."""
+    flag = os.environ.get("POCKET_TTS_TPU_CODEC")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    w = mimi_params["decoder"]["0"].weight
+    return w.dtype == jnp.bfloat16
 
 
 def _bucket(n: int, buckets) -> int:
@@ -161,6 +177,8 @@ class TTSModel:
         self.specs = specs
         self.mimi_specs = mimi_specs
         self.params = params
+        if _use_fused_codec(mimi_params):
+            mimi_params = enable_fused_codec(mimi_specs, mimi_params)
         self.mimi_params = mimi_params
         self.tokenizer = tokenizer
         self.config = config
