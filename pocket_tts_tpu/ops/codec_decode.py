@@ -47,12 +47,23 @@ MAX_FUSED_BATCH = 8  # beyond this, activations blow VMEM; XLA path batches fine
 
 def decoder_is_fusable(spec: SEANetSpec) -> bool:
     """The kernel covers stride-1 convs and K=2S transposed convs (all SEANet
-    decoders); anything else falls back to the XLA op program."""
-    for kind, op in spec.ops:
-        if kind == "conv" and op.stride != 1:
-            return False
+    decoders); anything else falls back to the XLA op program. Replicate-pad
+    bootstrapping is only resolvable pre-kernel for the stem (op 0), whose own
+    first input sample is available on the host side — a replicate conv deeper
+    in the program must fall back rather than hit seanet_decoder_fused's
+    NotImplementedError at trace time."""
+    for i, (kind, op) in enumerate(spec.ops):
+        if kind == "conv":
+            if op.stride != 1:
+                return False
+            if op.pad_mode == "replicate" and i != 0 and _conv_ctx(op) > 0:
+                return False
         if kind == "convtr" and (op.kernel_size != 2 * op.stride or op.groups != 1):
             return False
+        if kind == "resblock":
+            for cspec in op.convs:
+                if cspec.pad_mode == "replicate" and _conv_ctx(cspec) > 0:
+                    return False
     return True
 
 
@@ -148,8 +159,16 @@ def _flatten_io(spec: SEANetSpec, packed: dict, state: dict, wdtype):
 
 def _elu(x: jnp.ndarray) -> jnp.ndarray:
     """ELU without expm1 (unimplemented in the Mosaic TPU lowering). exp runs
-    on the clamped negative half so the positive branch can't overflow."""
-    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+    on the clamped negative half so the positive branch can't overflow.
+
+    All math (including the comparison and min) runs in f32: v5e Mosaic has no
+    bf16 `cmpf` lowering — `x > 0` on a bf16 vector is exactly the compile
+    failure that zeroed BENCH_r01 — and the f32 exp is also more accurate than
+    a bf16 one. Result rounds back to the activation dtype, matching the XLA
+    path's op-boundary rounding."""
+    xf = x.astype(jnp.float32)
+    y = jnp.where(xf > 0.0, xf, jnp.exp(jnp.minimum(xf, 0.0)) - 1.0)
+    return y.astype(x.dtype)
 
 
 def _build_kernel(slots, n_w: int, n_s: int, B: int, T0: int, out_len: int,

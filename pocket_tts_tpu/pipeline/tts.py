@@ -620,10 +620,15 @@ class TTSModel:
             max_gen_len = self._estimate_max_gen_len(token_count)
         orig_offset = model_state.offset
         # capacity is measured in SLOTS (write_pos): prompts append their full
-        # padded bucket, so account for pad_to rather than token_count
+        # padded bucket, so account for pad_to rather than token_count. The
+        # loop dispatches SCAN_BLOCK_FRAMES-sized blocks while
+        # frames_started < max_gen_len, so appends can overshoot max_gen_len by
+        # up to SCAN_BLOCK_FRAMES-1 slots — capacity must cover that, or the
+        # clamped dynamic_update_slice silently overwrites the last real slot's
+        # K/V/pos when `required` lands within a block of a bucket boundary.
         slots_used = int(np.asarray(model_state.write_pos))
         pad_to = _bucket(token_count, PROMPT_BUCKETS)
-        required = slots_used + pad_to + max_gen_len
+        required = slots_used + pad_to + max_gen_len + SCAN_BLOCK_FRAMES - 1
         capacity = _bucket(required, CAPACITY_BUCKETS)
 
         lm_state = expand_state(model_state, capacity)
