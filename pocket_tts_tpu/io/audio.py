@@ -1,15 +1,19 @@
 """Host-side audio IO: wav read, streaming wav write, sample-rate conversion.
 
-Equivalent surface to the reference data layer (/root/reference/pocket_tts/data/
-audio.py and audio_utils.py) with numpy arrays end to end: `audio_read`,
-`StreamingWAVWriter` (unseekable-stream friendly, buffers an optional first
-chunk, appends 200 ms of trailing silence), `stream_audio_chunks`, and polyphase
-`convert_audio`.
+Same capability surface as the reference data layer (/root/reference/pocket_tts/
+data/audio.py, data/audio_utils.py) — `audio_read`, a streaming WAV writer, a
+chunk-drain helper and polyphase `convert_audio` — built directly on RIFF
+framing rather than the stdlib `wave` writer. A streaming HTTP response cannot
+seek back to patch the header, so the header is emitted once with an
+open-ended data-size claim that players treat as "read until the stream ends";
+writing the 44 header bytes ourselves (`wav_header`) needs no placeholder
+nframes or disabled patch hooks.
 """
 
 from __future__ import annotations
 
 import os
+import struct
 import sys
 import wave
 from contextlib import nullcontext
@@ -19,7 +23,37 @@ from typing import Any, Iterator
 
 import numpy as np
 
-FIRST_CHUNK_LENGTH_SECONDS = float(os.environ.get("FIRST_CHUNK_LENGTH_SECONDS", "0"))
+_PCM16_BYTES = 2
+# data-size claim for unseekable streams: large enough to never truncate a real
+# generation, small enough to stay a valid unsigned 32-bit RIFF size
+_OPEN_ENDED_DATA_BYTES = 0x7FFF0000
+
+
+def wav_header(sample_rate: int, data_bytes: int, channels: int = 1) -> bytes:
+    """44-byte RIFF/WAVE header for 16-bit PCM."""
+    block_align = channels * _PCM16_BYTES
+    return struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + data_bytes,
+        b"WAVE",
+        b"fmt ",
+        16,  # PCM fmt-chunk payload size
+        1,  # audio format: linear PCM
+        channels,
+        sample_rate,
+        sample_rate * block_align,  # byte rate
+        block_align,
+        8 * _PCM16_BYTES,  # bits per sample
+        b"data",
+        data_bytes,
+    )
+
+
+def pcm16(audio: np.ndarray) -> bytes:
+    """float [-1, 1] -> little-endian int16 bytes (clipped)."""
+    clipped = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+    return (clipped * 32767.0).astype("<i2").tobytes()
 
 
 def audio_read(filepath: str | Path) -> tuple[np.ndarray, int]:
@@ -74,46 +108,46 @@ def convert_audio(
 
 
 class StreamingWAVWriter:
-    """Write 16-bit mono PCM wav to a possibly unseekable stream."""
+    """Incremental 16-bit mono WAV encoder for unseekable sinks.
+
+    Behavioral contract (matches the reference server's framing,
+    data/audio.py:55-112): the header goes out immediately with an open-ended
+    size claim; PCM is withheld until `FIRST_CHUNK_LENGTH_SECONDS` of audio has
+    accumulated (0 = stream every chunk as it arrives) so clients doing
+    naive immediate playback don't underrun; `finalize` flushes whatever is
+    held and appends 200 ms of silence for a clean playback tail.
+    """
+
+    TRAILING_SILENCE_SECONDS = 0.2
 
     def __init__(self, output_stream, sample_rate: int):
         self.output_stream = output_stream
         self.sample_rate = sample_rate
-        self.wave_writer: wave.Wave_write | None = None
-        self.first_chunk_buffer: list[bytes] | None = []
+        hold_seconds = float(os.environ.get("FIRST_CHUNK_LENGTH_SECONDS", "0"))
+        self._hold_bytes_target = int(sample_rate * hold_seconds) * _PCM16_BYTES
+        self._held: bytearray | None = bytearray()
 
     def write_header(self, sample_rate: int) -> None:
-        self.wave_writer = wave.open(self.output_stream, "wb")
-        self.wave_writer.setnchannels(1)
-        self.wave_writer.setsampwidth(2)
-        self.wave_writer.setframerate(sample_rate)
-        # placeholder frame count; unseekable streams never patch the header
-        self.wave_writer.setnframes(1_000_000_000)
+        self.output_stream.write(wav_header(sample_rate, _OPEN_ENDED_DATA_BYTES))
 
     def write_pcm_data(self, audio_chunk: np.ndarray) -> None:
-        chunk = np.clip(np.asarray(audio_chunk), -1.0, 1.0)
-        chunk_bytes = (chunk * 32767.0).astype(np.int16).tobytes()
-        if self.first_chunk_buffer is not None:
-            self.first_chunk_buffer.append(chunk_bytes)
-            total = sum(len(c) for c in self.first_chunk_buffer)
-            if total < int(self.sample_rate * FIRST_CHUNK_LENGTH_SECONDS) * 2:
-                return
-            self._flush()
+        data = pcm16(audio_chunk)
+        if self._held is None:
+            self.output_stream.write(data)
             return
-        self.wave_writer.writeframesraw(chunk_bytes)
+        self._held.extend(data)
+        if len(self._held) >= self._hold_bytes_target:
+            self._release_held()
 
-    def _flush(self) -> None:
-        if self.first_chunk_buffer is not None:
-            self.wave_writer.writeframesraw(b"".join(self.first_chunk_buffer))
-            self.first_chunk_buffer = None
+    def _release_held(self) -> None:
+        if self._held is not None:
+            self.output_stream.write(bytes(self._held))
+            self._held = None
 
     def finalize(self) -> None:
-        self._flush()
-        # trailing 200 ms of silence for clean playback cut-off
-        self.wave_writer.writeframesraw(bytes(int(self.sample_rate * 0.2) * 2))
-        if self.wave_writer:
-            self.wave_writer._patchheader = lambda: None  # never seek back
-            self.wave_writer.close()
+        self._release_held()
+        n_tail = int(self.sample_rate * self.TRAILING_SILENCE_SECONDS)
+        self.output_stream.write(bytes(n_tail * _PCM16_BYTES))
 
 
 def is_file_like(obj: Any) -> bool:
@@ -146,14 +180,12 @@ def stream_audio_chunks(
 
 
 def write_wav(path: str | Path, audio: np.ndarray, sample_rate: int) -> None:
-    """One-shot wav write of a [T] or [C, T] float array."""
+    """One-shot wav write of a [T] or [C, T] float array (exact sizes in the
+    header, unlike the streaming writer)."""
     audio = np.asarray(audio)
     if audio.ndim == 2:
         audio = audio.mean(axis=0)
+    data = pcm16(audio)
     with open(path, "wb") as f:
-        w = wave.open(f, "wb")
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(sample_rate)
-        w.writeframes((np.clip(audio, -1, 1) * 32767.0).astype(np.int16).tobytes())
-        w.close()
+        f.write(wav_header(sample_rate, len(data)))
+        f.write(data)
