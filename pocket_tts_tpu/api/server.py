@@ -1,10 +1,15 @@
 """Streaming HTTP server (stdlib only).
 
-Same surface as the reference FastAPI app (main.py:39-214):
+Same surface as the reference FastAPI app (main.py:39-214), plus the
+observability/failure-handling the reference lacks (SURVEY §5):
   GET  /        — minimal web UI with streaming playback
-  GET  /health  — liveness
+  GET  /health  — liveness; checks mesh health when serving on a device mesh
+  GET  /metrics — structured per-stage serving metrics (JSON): per-request
+                  voice/first-chunk/total timings, tokens/s, frames/s,
+                  audio-s/s (per chip when a mesh is active)
   POST /tts     — multipart/form-data {text, voice_url | voice_wav} ->
-                  chunked WAV stream
+                  chunked WAV stream; utterance-level retry when generation
+                  fails before any byte has been streamed
 
 Generation runs while the response streams (chunked transfer encoding); voice
 states for URL/name voices are LRU-cached on the model. Like the reference, one
@@ -21,11 +26,81 @@ import logging
 import re
 import tempfile
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pocket_tts_tpu.io.audio import StreamingWAVWriter
 
 logger = logging.getLogger(__name__)
+
+GENERATION_RETRIES = 1  # re-attempts when no audio byte has been sent yet
+
+
+class ServingMetrics:
+    """Aggregated per-stage serving metrics (SURVEY §5 observability).
+
+    Stages per request: voice-state build, first chunk (time to first audio
+    byte), total generation. Rates: tokens/s (prompt), frames/s (12.5 Hz
+    decode), audio-s/s (throughput; divide by mesh size for per-chip)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.failures = 0
+        self.retries = 0
+        self._sums = {"voice_ms": 0.0, "first_chunk_ms": 0.0, "total_ms": 0.0,
+                      "audio_s": 0.0, "frames": 0, "tokens": 0}
+        self.last: dict = {}
+
+    def record(self, *, voice_ms: float, first_chunk_ms: float | None,
+               total_ms: float, audio_s: float, frames: int, tokens: int,
+               n_chips: int = 1) -> None:
+        gen_s = max(total_ms / 1000.0, 1e-9)
+        per_request = {
+            "voice_ms": round(voice_ms, 1),
+            "first_chunk_ms": None if first_chunk_ms is None else round(first_chunk_ms, 1),
+            "total_ms": round(total_ms, 1),
+            "audio_s": round(audio_s, 3),
+            "tokens_per_s": round(tokens / gen_s, 1),
+            "frames_per_s": round(frames / gen_s, 1),
+            "audio_s_per_s": round(audio_s / gen_s, 2),
+            "audio_s_per_s_per_chip": round(audio_s / gen_s / max(n_chips, 1), 2),
+        }
+        with self._lock:
+            self.requests += 1
+            self._sums["voice_ms"] += voice_ms
+            self._sums["first_chunk_ms"] += first_chunk_ms or 0.0
+            self._sums["total_ms"] += total_ms
+            self._sums["audio_s"] += audio_s
+            self._sums["frames"] += frames
+            self._sums["tokens"] += tokens
+            self.last = per_request
+
+    def record_failure(self):
+        with self._lock:
+            self.failures += 1
+
+    def record_retry(self):
+        with self._lock:
+            self.retries += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            n = max(self.requests, 1)
+            total_gen_s = max(self._sums["total_ms"] / 1000.0, 1e-9)
+            return {
+                "requests": self.requests,
+                "failures": self.failures,
+                "retries": self.retries,
+                "mean_voice_ms": round(self._sums["voice_ms"] / n, 1),
+                "mean_first_chunk_ms": round(self._sums["first_chunk_ms"] / n, 1),
+                "mean_total_ms": round(self._sums["total_ms"] / n, 1),
+                "total_audio_s": round(self._sums["audio_s"], 3),
+                "overall_tokens_per_s": round(self._sums["tokens"] / total_gen_s, 1),
+                "overall_frames_per_s": round(self._sums["frames"] / total_gen_s, 1),
+                "overall_audio_s_per_s": round(self._sums["audio_s"] / total_gen_s, 2),
+                "last_request": dict(self.last),
+            }
 
 INDEX_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>pocket-tts-tpu</title>
@@ -132,8 +207,25 @@ class _QueueWriter(io.RawIOBase):
         pass
 
 
-def make_handler(model, default_voice: str):
+def _mesh_health(model) -> dict:
+    """Liveness + mesh health: on a device mesh, run the all-reduce heartbeat
+    (parallel/multihost.assert_mesh_healthy) so a wedged/partitioned chip
+    turns the health check red instead of hanging the next generation."""
+    if getattr(model, "mesh", None) is None:
+        return {"status": "ok"}
+    from pocket_tts_tpu.parallel.multihost import assert_mesh_healthy
+
+    try:
+        assert_mesh_healthy(model.mesh)
+        return {"status": "ok", "mesh": "healthy",
+                "devices": int(len(model.mesh.devices.flat))}
+    except Exception as e:  # noqa: BLE001 — degraded, report why
+        return {"status": "degraded", "mesh": "unhealthy", "error": str(e)}
+
+
+def make_handler(model, default_voice: str, metrics: ServingMetrics | None = None):
     lock = threading.Lock()
+    metrics = metrics if metrics is not None else ServingMetrics()
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -162,7 +254,11 @@ def make_handler(model, default_voice: str):
 
         def do_GET(self):
             if self.path == "/health":
-                self._send(200, json.dumps({"status": "ok"}).encode(),
+                health = _mesh_health(model)
+                code = 200 if health["status"] == "ok" else 503
+                self._send(code, json.dumps(health).encode(), "application/json")
+            elif self.path == "/metrics":
+                self._send(200, json.dumps(metrics.snapshot()).encode(),
                            "application/json")
             elif self.path == "/":
                 html = INDEX_HTML.replace("__DEFAULT_TEXT__", DEFAULT_TEXT)
@@ -197,6 +293,7 @@ def make_handler(model, default_voice: str):
 
             try:
                 with lock:
+                    t0 = time.monotonic()
                     if voice_wav:
                         with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
                             tmp.write(voice_wav)
@@ -208,6 +305,7 @@ def make_handler(model, default_voice: str):
                         state = model.cached_get_state_for_audio_prompt(
                             voice_url or default_voice, truncate=True
                         )
+                    voice_ms = (time.monotonic() - t0) * 1000.0
 
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")
@@ -218,13 +316,46 @@ def make_handler(model, default_voice: str):
                     writer = StreamingWAVWriter(_QueueWriter(self.wfile),
                                                 model.sample_rate)
                     writer.write_header(model.sample_rate)
-                    for chunk in model.generate_audio_stream(state, text):
-                        writer.write_pcm_data(chunk)
+                    # Utterance-level retry (SURVEY §5 failure handling): the
+                    # voice state is immutable (functional pytree), so as long
+                    # as no audio byte reached the client we can re-run the
+                    # whole generation after a transient device failure.
+                    t_gen = time.monotonic()
+                    first_chunk_ms = None
+                    samples = 0
+                    for attempt in range(GENERATION_RETRIES + 1):
+                        try:
+                            for chunk in model.generate_audio_stream(state, text):
+                                if first_chunk_ms is None:
+                                    first_chunk_ms = (time.monotonic() - t_gen) * 1000.0
+                                samples += int(chunk.shape[-1])
+                                writer.write_pcm_data(chunk)
+                            break
+                        except BrokenPipeError:
+                            raise
+                        except Exception:
+                            if samples > 0 or attempt >= GENERATION_RETRIES:
+                                raise
+                            logger.exception(
+                                "generation failed before first byte; retrying "
+                                "(%d/%d)", attempt + 1, GENERATION_RETRIES)
+                            metrics.record_retry()
                     writer.finalize()
+                    total_ms = (time.monotonic() - t_gen) * 1000.0
+                    n_chips = (1 if model.mesh is None
+                               else int(model.mesh.devices.size))
+                    metrics.record(
+                        voice_ms=voice_ms, first_chunk_ms=first_chunk_ms,
+                        total_ms=total_ms,
+                        audio_s=samples / model.sample_rate,
+                        frames=samples // model.samples_per_frame,
+                        tokens=len(model._encode_text(text)),
+                        n_chips=n_chips)
                     self.wfile.write(b"0\r\n\r\n")
             except BrokenPipeError:
                 logger.info("client disconnected")
             except Exception as e:
+                metrics.record_failure()
                 logger.exception("generation failed")
                 try:
                     self._send(500, str(e).encode())

@@ -164,7 +164,7 @@ def seanet_params_from_sd(spec, sd: StateDict, prefix: str) -> dict:
 def mimi_params_from_sd(specs, sd: StateDict, prefix: str = "") -> dict:
     L = specs.transformer.num_layers
     has_ls = specs.transformer.layer_scale is not None
-    return {
+    params = {
         "encoder": seanet_params_from_sd(specs.encoder, sd, prefix + "encoder."),
         "decoder": seanet_params_from_sd(specs.decoder, sd, prefix + "decoder."),
         "encoder_transformer": transformer_params_from_sd(
@@ -177,6 +177,17 @@ def mimi_params_from_sd(specs, sd: StateDict, prefix: str = "") -> dict:
         "downsample": _conv_params(sd, prefix + "downsample.conv.conv"),
         "upsample": _conv_params(sd, prefix + "upsample.convtr.convtr"),
     }
+    # ProjectedTransformer projections (reference mimi_transformer.py:129-137):
+    # present in the checkpoint only for non-identity dims. `output_projs.0`
+    # because the Mimi container uses exactly one output head.
+    for t in ("encoder_transformer", "decoder_transformer"):
+        w = sd.get(f"{prefix}{t}.input_proj.weight")
+        if w is not None:
+            params[f"{t}_in_proj"] = np.asarray(w)
+        w = sd.get(f"{prefix}{t}.output_projs.0.weight")
+        if w is not None:
+            params[f"{t}_out_proj"] = np.asarray(w)
+    return params
 
 
 def _linear(sd: StateDict, name: str, bias: bool = True) -> dict[str, Array]:
@@ -339,6 +350,12 @@ def mimi_params_to_sd(specs, params: dict, prefix: str = "") -> dict[str, Array]
     for tname in ("encoder_transformer", "decoder_transformer"):
         sd.update(transformer_params_to_sd(
             params[tname], f"{prefix}{tname}.transformer."))
+        if f"{tname}_in_proj" in params:
+            sd[f"{prefix}{tname}.input_proj.weight"] = np.asarray(
+                params[f"{tname}_in_proj"])
+        if f"{tname}_out_proj" in params:
+            sd[f"{prefix}{tname}.output_projs.0.weight"] = np.asarray(
+                params[f"{tname}_out_proj"])
     put_conv(prefix + "quantizer.output_proj", params["quantizer_out_proj"])
     put_conv(prefix + "downsample.conv.conv", params["downsample"])
     put_conv(prefix + "upsample.convtr.convtr", params["upsample"])

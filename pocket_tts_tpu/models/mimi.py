@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from pocket_tts_tpu.config import MimiConfig
+from pocket_tts_tpu.nn.linear import matmul_t
 from pocket_tts_tpu.nn.conv import (
     ConvSpec,
     ConvTrSpec,
@@ -49,7 +50,6 @@ from pocket_tts_tpu.nn.transformer import (
     transformer_oneshot,
 )
 from pocket_tts_tpu.ops.codec_decode import (
-    MAX_FUSED_BATCH,
     decoder_is_fusable,
     pack_decoder_params,
     seanet_decoder_fused,
@@ -71,6 +71,23 @@ class MimiSpecs:
     sample_rate: int
     frame_rate: float
     downsample_stride: int  # encoder_frame_rate / frame_rate (16)
+    # ProjectedTransformer dims (reference mimi_transformer.py:104-150): the
+    # transformer is wrapped in an input projection (t_input_dim -> d_model)
+    # and one output projection (d_model -> t_output_dims[0]) whenever the
+    # dimensions differ; identity otherwise. All 12 shipped configs are
+    # identity, but non-identity checkpoints must build correctly too.
+    t_input_dim: int = 0
+    t_output_dims: tuple[int, ...] = ()
+
+    @property
+    def has_input_proj(self) -> bool:
+        return self.t_input_dim not in (0, self.transformer.d_model)
+
+    @property
+    def has_output_proj(self) -> bool:
+        return bool(self.t_output_dims) and (
+            self.t_output_dims[0] != self.transformer.d_model
+        )
 
     @property
     def encoder_frame_rate(self) -> float:
@@ -132,6 +149,13 @@ def build_mimi_specs(cfg: MimiConfig) -> MimiSpecs:
         hop *= r
     encoder_frame_rate = cfg.sample_rate / hop
     stride = int(encoder_frame_rate / cfg.frame_rate)
+    if len(cfg.transformer.output_dimensions) != 1:
+        # the Mimi container consumes exactly one transformer output
+        # (reference mimi.py:93 `(emb,) = self.decoder_transformer(...)`)
+        raise ValueError(
+            "Mimi transformers must have exactly one output dimension; got "
+            f"{cfg.transformer.output_dimensions}"
+        )
     return MimiSpecs(
         arch=arch,
         encoder=encoder_spec(arch),
@@ -144,12 +168,14 @@ def build_mimi_specs(cfg: MimiConfig) -> MimiSpecs:
         sample_rate=cfg.sample_rate,
         frame_rate=cfg.frame_rate,
         downsample_stride=stride,
+        t_input_dim=cfg.transformer.input_dimension,
+        t_output_dims=tuple(cfg.transformer.output_dimensions),
     )
 
 
 def init_mimi_params(specs: MimiSpecs, key, dtype=jnp.float32) -> dict:
-    ks = jax.random.split(key, 7)
-    return {
+    ks = jax.random.split(key, 11)
+    params = {
         "encoder": init_seanet_params(specs.encoder, ks[0], dtype),
         "decoder": init_seanet_params(specs.decoder, ks[1], dtype),
         "encoder_transformer": init_layer_params(specs.transformer, ks[2], dtype),
@@ -158,6 +184,21 @@ def init_mimi_params(specs: MimiSpecs, key, dtype=jnp.float32) -> dict:
         "downsample": init_conv_params(specs.downsample_spec, ks[5], dtype, bias=False),
         "upsample": init_conv_params(specs.upsample_spec, ks[6], dtype, bias=False),
     }
+    # ProjectedTransformer in/out projections, torch Linear layout [out, in]
+    # (reference mimi_transformer.py:129-137); absent when identity.
+    d = specs.transformer.d_model
+
+    def unif(k, out_dim, in_dim):
+        bound = 1.0 / (in_dim**0.5)
+        return jax.random.uniform(k, (out_dim, in_dim), dtype, -bound, bound)
+
+    if specs.has_input_proj:
+        params["encoder_transformer_in_proj"] = unif(ks[7], d, specs.t_input_dim)
+        params["decoder_transformer_in_proj"] = unif(ks[8], d, specs.t_input_dim)
+    if specs.has_output_proj:
+        params["encoder_transformer_out_proj"] = unif(ks[9], specs.t_output_dims[0], d)
+        params["decoder_transformer_out_proj"] = unif(ks[10], specs.t_output_dims[0], d)
+    return params
 
 
 def init_decoder_state(specs: MimiSpecs, batch_size: int, dtype=jnp.float32) -> dict:
@@ -186,9 +227,12 @@ def encode_to_latent(specs: MimiSpecs, params: dict, audio: jnp.ndarray) -> jnp.
         audio = jnp.pad(audio, ((0, 0), (0, 0), (0, pad)))
     emb, _ = seanet_apply(specs.encoder, params["encoder"], audio, None)
     # one-shot transformer over the full (windowed) sequence, no cache
-    out = transformer_oneshot(
-        specs.transformer, params["encoder_transformer"], emb.transpose(0, 2, 1)
-    )
+    h = emb.transpose(0, 2, 1)
+    if "encoder_transformer_in_proj" in params:
+        h = matmul_t(h, params["encoder_transformer_in_proj"])
+    out = transformer_oneshot(specs.transformer, params["encoder_transformer"], h)
+    if "encoder_transformer_out_proj" in params:
+        out = matmul_t(out, params["encoder_transformer_out_proj"])
     emb = out.transpose(0, 2, 1)
     latent, _ = conv1d_step(emb, specs.downsample_spec, params["downsample"], None)
     return latent
@@ -209,17 +253,22 @@ def decoder_step(
     x, up_state = conv_transpose1d_step(
         latent, specs.upsample_spec, params["upsample"], state["upsample"]
     )
+    h = x.transpose(0, 2, 1)
+    if "decoder_transformer_in_proj" in params:
+        h = matmul_t(h, params["decoder_transformer_in_proj"])
     out, tstate = transformer_apply(
         specs.transformer,
         params["decoder_transformer"],
-        x.transpose(0, 2, 1),
+        h,
         state["transformer"],
         ring=True,
         unroll=True,
     )
+    if "decoder_transformer_out_proj" in params:
+        out = matmul_t(out, params["decoder_transformer_out_proj"])
     x = out.transpose(0, 2, 1)
     packed = params.get("decoder_packed")
-    if packed is not None and x.shape[0] <= MAX_FUSED_BATCH:
+    if packed is not None:
         audio, dec_state = seanet_decoder_fused(
             specs.decoder, packed, x, state["decoder"]
         )

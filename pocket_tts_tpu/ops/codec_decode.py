@@ -42,7 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 from pocket_tts_tpu.nn.conv import ConvSpec, ConvTrSpec
 from pocket_tts_tpu.nn.seanet import SEANetSpec
 
-MAX_FUSED_BATCH = 8  # beyond this, activations blow VMEM; XLA path batches fine
+# Rows of the batch processed per grid step. v5e VMEM is ~16 MB/core; the
+# decoder weights (8.6 MB bf16) stay resident across the whole grid (constant
+# index map) and each step's activations peak at ~2 MB/row f32 (the convtr
+# matmul accumulator at the 1920-sample stage), so 4 rows fit and 8 do not
+# (measured: bf16 b8 single-block failed Mosaic allocation; b4 compiled).
+# Larger batches run more sequential grid steps instead of falling back to XLA.
+BATCH_TILE = 4
 
 
 def decoder_is_fusable(spec: SEANetSpec) -> bool:
@@ -172,7 +178,21 @@ def _elu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _build_kernel(slots, n_w: int, n_s: int, B: int, T0: int, out_len: int,
-                  wdtype):
+                  wdtype, grid_mode: bool):
+    """grid_mode: row-tiled refs carry a leading grid axis of size 1
+    ([1, Bt, ...]) so Mosaic's block-shape rule (last two dims divisible by
+    (8, 128) or equal to the array dims) is satisfied for every state shape;
+    the kernel peels it off on load and re-adds it on store."""
+
+    def load(ref):
+        return ref[0] if grid_mode else ref[...]
+
+    def store(ref, val):
+        if grid_mode:
+            ref[0] = val
+        else:
+            ref[...] = val
+
     def kernel(*refs):
         w_refs = refs[:n_w]
         s_refs = refs[n_w : n_w + n_s]
@@ -180,7 +200,7 @@ def _build_kernel(slots, n_w: int, n_s: int, B: int, T0: int, out_len: int,
         audio_ref = refs[n_w + n_s + 1]
         s_out_refs = refs[n_w + n_s + 2 :]
 
-        h = x_ref[...]  # [B, T, C]
+        h = load(x_ref)  # [B, T, C]
         residual = None
         for slot in slots:
             kind = slot["kind"]
@@ -196,9 +216,9 @@ def _build_kernel(slots, n_w: int, n_s: int, B: int, T0: int, out_len: int,
                 K, d = op.kernel_size, op.dilation
                 ctx = _conv_ctx(op)
                 if ctx > 0:
-                    prev = s_refs[slot["si"]][...]
+                    prev = load(s_refs[slot["si"]])
                     full = jnp.concatenate([prev, h], axis=1)
-                    s_out_refs[slot["si"]][...] = full[:, -ctx:, :]
+                    store(s_out_refs[slot["si"]], full[:, -ctx:, :])
                 else:
                     full = h
                 T = full.shape[1] - ctx
@@ -249,12 +269,12 @@ def _build_kernel(slots, n_w: int, n_s: int, B: int, T0: int, out_len: int,
                 tail = full[:, T * S :, :]
                 if bias is not None:
                     tail = tail - bias[:, :Cout]
-                s_out_refs[slot["si"]][...] = tail
+                store(s_out_refs[slot["si"]], tail)
                 emit = full[:, : T * S, :]
-                head = emit[:, :PT, :] + s_refs[slot["si"]][...]
+                head = emit[:, :PT, :] + load(s_refs[slot["si"]])
                 h = jnp.concatenate([head, emit[:, PT:, :]], axis=1)
 
-        audio_ref[...] = h[:, :, 0]
+        store(audio_ref, h[:, :, 0])
 
     return kernel
 
@@ -273,12 +293,20 @@ def seanet_decoder_fused(
 
     interpret=None auto-selects: compiled on TPU, interpreter elsewhere (lets
     the forced-on CPU path run for testing).
+
+    Any batch size: rows are processed BATCH_TILE at a time by a 1-D grid —
+    the packed weights use a constant index map so Mosaic keeps them VMEM-
+    resident across grid steps, while per-row activations/states stream
+    through in tiles that fit the ~16 MB budget. Batches that don't divide
+    the tile are padded with garbage rows whose outputs are sliced away.
     """
     if interpret is None:
         interpret = jax.default_backend() in ("cpu", "gpu")
     B, C0, T0 = x.shape
-    assert B <= MAX_FUSED_BATCH, B
     wdtype = x.dtype
+
+    Bt = min(B, BATCH_TILE)
+    Bp = -(-B // Bt) * Bt
 
     # resolve replicate-pad bootstrap outside the kernel (cheap, tiny states).
     # Replicate init needs the conv's own first input sample, which is only
@@ -306,29 +334,81 @@ def seanet_decoder_fused(
 
     weights, states_in, slots = _flatten_io(spec, packed, resolved, wdtype)
 
+    x_in = x.transpose(0, 2, 1).astype(wdtype)
+
     # output geometry: stride-1 convs and elu preserve T; convtr scales by S
     out_len = T0
     for kind, op in spec.ops:
         if kind == "convtr":
             out_len *= op.stride
 
-    kernel = _build_kernel(slots, len(weights), len(states_in), B, T0, out_len,
-                           wdtype)
-
-    out_shapes = [jax.ShapeDtypeStruct((B, out_len), wdtype)] + [
-        jax.ShapeDtypeStruct(s.shape, s.dtype) for s in states_in
-    ]
+    grid_mode = B > BATCH_TILE
+    kernel = _build_kernel(slots, len(weights), len(states_in), Bt, T0, out_len,
+                           wdtype, grid_mode)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kernel,
-        in_specs=[vmem] * (len(weights) + len(states_in) + 1),
-        out_specs=[vmem] * len(out_shapes),
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(*weights, *states_in, x.transpose(0, 2, 1).astype(wdtype))
 
-    audio = outs[0][:, None, :]
-    new_flat = list(outs[1:])
+    if not grid_mode:
+        # single block, no grid: every ref covers its whole array
+        out_shapes = [jax.ShapeDtypeStruct((B, out_len), wdtype)] + [
+            jax.ShapeDtypeStruct(s.shape, s.dtype) for s in states_in
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            in_specs=[vmem] * (len(weights) + len(states_in) + 1),
+            out_specs=[vmem] * len(out_shapes),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*weights, *states_in, x_in)
+        audio = outs[0][:, None, :]
+        new_flat = list(outs[1:])
+    else:
+        # 1-D grid over row tiles. Row-tiled arrays are reshaped to
+        # [G, Bt, ...] so every block dim equals its array dim except the
+        # leading grid axis (Mosaic's block-shape divisibility rule); the
+        # packed weights keep a constant index map and stay VMEM-resident
+        # across the sequential grid steps.
+        G = Bp // Bt
+
+        def to_tiles(a):
+            if Bp != B:  # garbage rows; outputs sliced away below
+                a = jnp.pad(a, ((0, Bp - B),) + ((0, 0),) * (a.ndim - 1))
+            return a.reshape((G, Bt) + a.shape[1:])
+
+        def whole(arr):  # resident across grid steps (constant index map)
+            return pl.BlockSpec(arr.shape, lambda i, nd=arr.ndim: (0,) * nd,
+                                memory_space=pltpu.VMEM)
+
+        def row_tile(shape):  # shape: [G, Bt, ...]; one tile per grid step
+            block = (1,) + tuple(shape[1:])
+            return pl.BlockSpec(
+                block, lambda i, nd=len(shape): (i,) + (0,) * (nd - 1),
+                memory_space=pltpu.VMEM,
+            )
+
+        tiled_states = [to_tiles(s) for s in states_in]
+        x_tiled = to_tiles(x_in)
+        out_shapes = [jax.ShapeDtypeStruct((G, Bt, out_len), wdtype)] + [
+            jax.ShapeDtypeStruct(s.shape, s.dtype) for s in tiled_states
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[whole(w) for w in weights]
+            + [row_tile(s.shape) for s in tiled_states]
+            + [row_tile(x_tiled.shape)],
+            out_specs=[row_tile(o.shape) for o in out_shapes],
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+            ),
+            interpret=interpret,
+        )(*weights, *tiled_states, x_tiled)
+
+        def from_tiles(a):
+            return a.reshape((Bp,) + a.shape[2:])[:B]
+
+        audio = from_tiles(outs[0])[:, None, :]
+        new_flat = [from_tiles(o) for o in outs[1:]]
 
     # scatter the flat new states back into the pytree
     new_state: dict = {}

@@ -715,6 +715,11 @@ class TTSModel:
             if not ok:
                 break
         if eos_step is None and frames_started >= max_gen_len:
+            # strict switch (reference tts_model.py:770-775; the reference reads
+            # a misspelled `KPOCKET_...` name, making its own switch dead — we
+            # honor the name its tests actually set, conftest.py:3)
+            if os.environ.get("POCKET_TTS_ERROR_WITHOUT_EOS", "0") == "1":
+                raise RuntimeError("Generation reached maximum length without EOS!")
             logger.warning(
                 "Maximum generation length reached without EOS; "
                 "this very often indicates an error."
@@ -835,6 +840,17 @@ class TTSModel:
                 break
         for s in range(max(0, len(frames) - SPECULATIVE_DEPTH), len(frames)):
             self._update_row_cuts(eos_flags, s, eos_step, end_step, frames_after_eos)
+
+        if (eos_step < 0).any():
+            rows = np.nonzero(eos_step < 0)[0].tolist()
+            if os.environ.get("POCKET_TTS_ERROR_WITHOUT_EOS", "0") == "1":
+                raise RuntimeError(
+                    f"Generation reached maximum length without EOS (rows {rows})!"
+                )
+            logger.warning(
+                "Maximum generation length reached without EOS on rows %s; "
+                "this very often indicates an error.", rows,
+            )
 
         stacked = np.stack([np.asarray(f)[:, 0, :] for f in frames], axis=1)  # [B,S,1920]
         out = []

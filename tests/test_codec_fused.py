@@ -34,8 +34,10 @@ ARCH = SEANetArch(
 )
 
 
-@pytest.mark.parametrize("batch", [1, 3])
+@pytest.mark.parametrize("batch", [1, 3, 6, 12])
 def test_fused_decoder_matches_xla(batch):
+    """batch 6 exercises the non-divisible pad path (tile 4 -> padded to 8);
+    batch 12 runs a 3-step grid with resident weights."""
     spec = decoder_spec(ARCH)
     assert decoder_is_fusable(spec)
     params = init_seanet_params(spec, jax.random.PRNGKey(0))

@@ -1,7 +1,10 @@
 """End-to-end pipeline parity: voice prompt -> text prompt -> AR generation ->
-streamed waveform, vs the torch reference driven with the same weights and the
-same injected noise stream. Also covers voice-state export/import round-trip and
-batched-vs-sequential consistency.
+streamed waveform, vs the torch reference's OWN TTSModel driven with the same
+weights and the same injected noise stream — the reference methods
+`get_state_for_audio_prompt` and `_generate_audio_stream_short_text`
+(tts_model.py:633-705) run as-is (threads, queues, emission accounting and
+all); nothing about the reference loop is re-implemented here. Also covers
+voice-state export/import round-trip and batched-vs-sequential consistency.
 """
 
 import numpy as np
@@ -12,18 +15,14 @@ from refloader import import_reference
 
 import_reference()
 
-from functools import partial  # noqa: E402
-
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
-from pocket_tts.models.flow_lm import FlowLMModel, lsd_decode as torch_lsd  # noqa: E402
+from pocket_tts.conditioners.base import TokenizedText  # noqa: E402
+from pocket_tts.models.flow_lm import FlowLMModel  # noqa: E402
+from pocket_tts.models.tts_model import TTSModel as RefTTSModel  # noqa: E402
 from pocket_tts.modules.mimi_transformer import StreamingTransformer  # noqa: E402
 from pocket_tts.modules.mlp import SimpleMLPAdaLN  # noqa: E402
-from pocket_tts.modules.stateful_module import (  # noqa: E402
-    StatefulModule,
-    increment_steps,
-    init_states,
-)
+from pocket_tts.modules.stateful_module import StatefulModule  # noqa: E402
 
 from pocket_tts_tpu.config import CONFIGS_DIR, Config, load_config  # noqa: E402
 from pocket_tts_tpu.core.weights import (  # noqa: E402
@@ -63,10 +62,43 @@ def small_config() -> Config:
     return Config(**d)
 
 
+# deterministic word->id map shared by the reference conditioner and our token
+# lists, standing in for sentencepiece (absent offline); parity only needs both
+# sides to see identical ids
+WORD_IDS = {"ta": 3, "tb": 14, "tc": 15, "td": 9, "te": 2, "tf": 6,
+            "tg": 5, "th": 11}
+
+
+def word_tokens(text: str) -> list[int]:
+    return [WORD_IDS[w] for w in text.split()]
+
+
 class _Cond(torch.nn.Module):
+    """Minimal stand-in for the reference LUTConditioner: same embed layer,
+    same prepare()/forward() contract (conditioners/text.py:53-76), word-map
+    tokenization instead of sentencepiece."""
+
     def __init__(self):
         super().__init__()
         self.embed = torch.nn.Embedding(N_BINS + 1, D_MODEL)
+
+    def prepare(self, text: str) -> TokenizedText:
+        return TokenizedText(torch.tensor([word_tokens(text)], dtype=torch.long))
+
+    def forward(self, inputs: TokenizedText) -> torch.Tensor:
+        return self.embed(inputs[0])
+
+
+def patch_reference_noise(monkeypatch, stream):
+    """Route the reference's flow-noise draw (flow_lm.py:132-137,
+    torch.nn.init.normal_ into an empty tensor) to the shared recorded stream.
+    The stream value already includes the std scale, like our NoiseSource."""
+
+    def fake_normal_(tensor, mean=0.0, std=1.0):
+        tensor.copy_(torch.from_numpy(stream(tuple(tensor.shape))))
+        return tensor
+
+    monkeypatch.setattr(torch.nn.init, "normal_", fake_normal_)
 
 
 def build_reference_flow_lm(cfg: Config):
@@ -90,21 +122,49 @@ def build_reference_flow_lm(cfg: Config):
 
 
 class RecordedNoise:
-    """Deterministic noise stream shared by both implementations."""
+    """Deterministic noise stream shared by both implementations.
 
-    def __init__(self, seed=123, std=0.7**0.5):
+    `skip`: discard n leading (1, LDIM) draws. The reference's forward samples
+    noise on EVERY call — including prompt passes whose latent is discarded
+    (flow_lm.py:130-137) — so its AR-step draws sit one draw per prompt pass
+    into the stream; our pipeline only draws for decode steps."""
+
+    def __init__(self, seed=123, std=0.7**0.5, skip=0):
         self.rng = np.random.default_rng(seed)
         self.std = std
+        for _ in range(skip):
+            self((1, LDIM))
 
     def __call__(self, shape):
         return (self.rng.standard_normal(shape) * self.std).astype(np.float32)
+
+
+# With random weights the EOS logit hovers around 0 +- 0.9, so the production
+# threshold (-4) latches EOS at step 0 and the untouched emb_std (ones) lets
+# the random codec attenuate the latents into near-noise-insensitivity. The
+# test model amplifies emb_std and raises the threshold so (a) EOS latches
+# MID-generation (exercising the latch/break-step accounting for real) and
+# (b) the waveform visibly depends on the injected noise (verified by the
+# sensitivity guard in test_end_to_end_waveform_matches_reference).
+EOS_THRESHOLD = 0.8
 
 
 @pytest.fixture(scope="module")
 def models():
     cfg = small_config()
     ref_lm = build_reference_flow_lm(cfg)
+    with torch.no_grad():
+        ref_lm.emb_std.copy_(torch.full((LDIM,), 3.0))
+        torch.manual_seed(17)
+        ref_lm.emb_mean.copy_(torch.randn(LDIM) * 0.1)
     ref_mimi = build_reference_mimi(cfg.mimi)
+    # the reference's real pipeline orchestrator, driven as-is in the tests
+    ref_tts = RefTTSModel(
+        flow_lm=ref_lm, temp=0.7, lsd_decode_steps=1, noise_clamp=None,
+        eos_threshold=EOS_THRESHOLD, config=cfg, origin=None,
+    )
+    ref_tts.mimi = ref_mimi
+    ref_tts.eval()
     specs = build_flow_lm_specs(cfg)
     mimi_specs = build_mimi_specs(cfg.mimi)
     lm_sd = {k: v.numpy() for k, v in ref_lm.state_dict().items()}
@@ -115,137 +175,115 @@ def models():
     mimi_params = jax.tree.map(jnp.asarray, mimi_params)
     model = TTSModel(
         specs, mimi_specs, params, mimi_params,
-        tokenizer=None, config=cfg, gen_params=GenerationParams(),
+        tokenizer=None, config=cfg,
+        gen_params=GenerationParams(eos_threshold=EOS_THRESHOLD),
         origin=CONFIGS_DIR / "english.yaml",
     )
-    return cfg, ref_lm, ref_mimi, model
+    return cfg, ref_tts, model
 
 
-def reference_voice_state(ref_lm, ref_mimi, voice_wav, extra_capacity):
-    """Voice-prompting pass of the reference (tts_model.py:787-905); the state
-    is created with enough capacity for the chunks that follow."""
-    with torch.no_grad():
-        latent = ref_mimi.encode_to_latent(torch.from_numpy(voice_wav))
-        cond = torch.nn.functional.linear(
-            latent.transpose(-1, -2), ref_lm.speaker_proj_weight
-        )
-        cond = torch.cat([ref_lm.bos_before_voice, cond], dim=1)
-        prompt_len = cond.shape[1]
-        state = init_states(ref_lm, batch_size=1,
-                            sequence_length=prompt_len + extra_capacity)
-        ref_lm.transformer(cond, state)
-        increment_steps(ref_lm, state, prompt_len)
-        return state
+def reference_stream(ref_tts, state, text, frames_after_eos, copy_state):
+    """Drive the reference's own per-chunk generator (tts_model.py:633-705):
+    threads, queues, EOS latching and break-step accounting all run in the
+    reference's code, not a re-implementation."""
+    chunks = list(ref_tts._generate_audio_stream_short_text(
+        model_state=state, text_to_generate=text,
+        frames_after_eos=frames_after_eos, copy_state=copy_state,
+    ))
+    return (np.concatenate([c.numpy() for c in chunks])
+            if chunks else np.zeros(0, np.float32))
 
 
-def reference_ar_from_state(ref_lm, ref_mimi, state, tokens, noise_source,
-                            max_gen_len, frames_after_eos):
-    """Mirror of the reference text-prompt + AR loop (tts_model.py:317-779)
-    with injected noise, mutating `state` in place like copy_state=False."""
-    with torch.no_grad():
-        emb = ref_lm.conditioner.embed(torch.tensor(tokens)[None])
-        ref_lm.transformer(emb, state)
-        increment_steps(ref_lm, state, len(tokens))
-
-        # AR loop + streaming mimi decode
-        mimi_state = init_states(ref_mimi, batch_size=1,
-                                 sequence_length=max_gen_len * 16)
-        frames = []
-        prev = torch.full((1, 1, LDIM), float("nan"))
-        eos_step = None
-        for step in range(max_gen_len):
-            seq = torch.where(torch.isnan(prev), ref_lm.bos_emb, prev)
-            x = ref_lm.input_linear(seq)
-            out = ref_lm.out_norm(ref_lm.transformer(x, state)).to(torch.float32)[:, -1]
-            is_eos = (ref_lm.out_eos(out) > -4.0).item()
-            increment_steps(ref_lm, state, 1)
-            noise = torch.from_numpy(noise_source((1, LDIM)))
-            lat = torch_lsd(partial(ref_lm.flow_net, out), noise, 1)
-            if is_eos and eos_step is None:
-                eos_step = step
-            if eos_step is not None and step >= eos_step + frames_after_eos:
-                break
-            # decode this latent through mimi
-            dec_in = (lat * ref_lm.emb_std + ref_lm.emb_mean).unsqueeze(-1)
-            quant = ref_mimi.quantizer(dec_in)
-            audio = ref_mimi.decode_from_latent(quant, mimi_state)
-            increment_steps(ref_mimi, mimi_state, 16)
-            frames.append(audio[0, 0].numpy())
-            prev = lat[:, None, :]
-        return np.concatenate(frames) if frames else np.zeros(0, np.float32)
-
-
-def reference_generate(cfg, ref_lm, ref_mimi, voice_wav, tokens, noise_source,
-                       max_gen_len, frames_after_eos):
-    state = reference_voice_state(ref_lm, ref_mimi, voice_wav,
-                                  len(tokens) + max_gen_len)
-    audio = reference_ar_from_state(ref_lm, ref_mimi, state, tokens,
-                                    noise_source, max_gen_len, frames_after_eos)
-    return state, audio
-
-
-def test_end_to_end_waveform_matches_reference(models):
-    cfg, ref_lm, ref_mimi, model = models
+def test_end_to_end_waveform_matches_reference(models, monkeypatch):
+    cfg, ref_tts, model = models
     rng = np.random.default_rng(0)
     voice_wav = (rng.standard_normal((1, 1, 5000)) * 0.1).astype(np.float32)
-    tokens = [3, 14, 15, 9, 2, 6]
-    max_gen_len, frames_after_eos = 12, 2
+    text = "ta tb tc td te tf"
+    frames_after_eos = 2
 
-    ref_state, ref_audio = reference_generate(
-        cfg, ref_lm, ref_mimi, voice_wav, tokens, RecordedNoise(), max_gen_len,
-        frames_after_eos,
-    )
+    # voice state builds BEFORE the patch (its discarded prompt draw must not
+    # consume from the shared stream); the text-prompt pass still draws once,
+    # hence skip=1 on our side
+    with torch.no_grad():
+        ref_state = ref_tts.get_state_for_audio_prompt(
+            torch.from_numpy(voice_wav[0]))
+    patch_reference_noise(monkeypatch, RecordedNoise())
+    ref_audio = reference_stream(ref_tts, ref_state, text, frames_after_eos,
+                                 copy_state=True)
 
     voice_state = model.state_for_audio_array(voice_wav)
     chunks = list(
         model.generate_audio_stream_from_tokens(
-            voice_state, tokens, frames_after_eos, RecordedNoise(),
-            max_gen_len=max_gen_len,
+            voice_state, word_tokens(text), frames_after_eos,
+            RecordedNoise(skip=1),
         )
     )
     ours = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
 
     assert ours.shape == ref_audio.shape, (ours.shape, ref_audio.shape)
-    np.testing.assert_allclose(ours, ref_audio, rtol=5e-3, atol=2e-3)
+    # full-length generation (max_gen_len ~50 frames): streaming-conv op-order
+    # differences drift a little per frame, so the pointwise tolerance is
+    # looser than single-step parity (test_full_shape_parity.py, <=1e-4) —
+    # the mean-error bound keeps the aggregate agreement tight
+    np.testing.assert_allclose(ours, ref_audio, rtol=1e-2, atol=4e-3)
+    assert float(np.abs(ours - ref_audio).mean()) < 2e-3
+
+    # sensitivity guard: a different noise stream must NOT pass the bound
+    # above, i.e. the agreement genuinely reflects aligned noise, not a
+    # latent-insensitive codec
+    other = np.concatenate(list(model.generate_audio_stream_from_tokens(
+        voice_state, word_tokens(text), frames_after_eos,
+        RecordedNoise(777, skip=1),
+    ))[: len(chunks)]) if chunks else np.zeros(0, np.float32)
+    n = min(len(other), len(ref_audio))
+    assert float(np.abs(other[:n] - ref_audio[:n]).mean()) > 3e-3
 
 
-def test_copy_state_false_continuation_matches_reference(models):
+def test_copy_state_false_continuation_matches_reference(models, monkeypatch):
     """copy_state=False (write_back) reproduces the reference's in-place state
     accumulation: a second chunk generated from the mutated state yields the
     same waveform, and the flow-lm offsets agree after every chunk."""
-    cfg, ref_lm, ref_mimi, model = models
+    cfg, ref_tts, model = models
     rng = np.random.default_rng(9)
     voice_wav = (rng.standard_normal((1, 1, 5000)) * 0.1).astype(np.float32)
-    tok_a, tok_b = [3, 14, 15, 9, 2, 6], [5, 9, 2, 11]
-    gl_a, gl_b, fae = 10, 8, 2
+    text_a, text_b = "ta tb tc td te tf", "tg td te th"
+    fae = 2
 
-    ref_state = reference_voice_state(
-        ref_lm, ref_mimi, voice_wav, len(tok_a) + gl_a + len(tok_b) + gl_b
-    )
-    ref_a = reference_ar_from_state(ref_lm, ref_mimi, ref_state, tok_a,
-                                    RecordedNoise(21), gl_a, fae)
-    ref_b = reference_ar_from_state(ref_lm, ref_mimi, ref_state, tok_b,
-                                    RecordedNoise(22), gl_b, fae)
+    # fresh noise stream per chunk on BOTH sides: our driver speculatively
+    # draws noise for frames past the reference's stop point, so a shared
+    # stream would misalign the second chunk
+    with torch.no_grad():
+        ref_state = ref_tts.get_state_for_audio_prompt(
+            torch.from_numpy(voice_wav[0]))
+    patch_reference_noise(monkeypatch, RecordedNoise(21))
+    ref_a = reference_stream(ref_tts, ref_state, text_a, fae, copy_state=False)
+    patch_reference_noise(monkeypatch, RecordedNoise(22))
+    ref_b = reference_stream(ref_tts, ref_state, text_b, fae, copy_state=False)
 
     def ref_end(state):
         return max(int(v["offset"].max()) for v in state.values() if "offset" in v)
 
     state = model.state_for_audio_array(voice_wav)
     ours_a = np.concatenate(list(model.generate_audio_stream_from_tokens(
-        state, tok_a, fae, RecordedNoise(21), max_gen_len=gl_a, write_back=True,
+        state, word_tokens(text_a), fae, RecordedNoise(21, skip=1),
+        write_back=True,
     )) or [np.zeros(0, np.float32)])
     ours_b = np.concatenate(list(model.generate_audio_stream_from_tokens(
-        state, tok_b, fae, RecordedNoise(22), max_gen_len=gl_b, write_back=True,
+        state, word_tokens(text_b), fae, RecordedNoise(22, skip=1),
+        write_back=True,
     )) or [np.zeros(0, np.float32)])
 
-    np.testing.assert_allclose(ours_a, ref_a, rtol=5e-3, atol=2e-3)
+    # same drift rationale as test_end_to_end_waveform_matches_reference
+    np.testing.assert_allclose(ours_a, ref_a, rtol=1e-2, atol=4e-3)
+    assert float(np.abs(ours_a - ref_a).mean()) < 2e-3
     assert ours_b.shape == ref_b.shape, (ours_b.shape, ref_b.shape)
-    np.testing.assert_allclose(ours_b, ref_b, rtol=5e-3, atol=2e-3)
+    np.testing.assert_allclose(ours_b, ref_b, rtol=1e-2, atol=4e-3)
+    assert float(np.abs(ours_b - ref_b).mean()) < 2e-3
     assert int(np.asarray(state.offset)[0]) == ref_end(ref_state)
 
 
 def test_voice_state_export_import_roundtrip(models, tmp_path):
-    _, _, _, model = models
+    _, _, model = models
     rng = np.random.default_rng(1)
     voice_wav = (rng.standard_normal((1, 1, 4000)) * 0.1).astype(np.float32)
     state = model.state_for_audio_array(voice_wav)
@@ -269,21 +307,15 @@ def test_voice_state_export_import_roundtrip(models, tmp_path):
 
 
 def test_reference_exported_state_imports(models, tmp_path):
-    """A voice exported by the torch reference must load (format compat)."""
-    cfg, ref_lm, ref_mimi, model = models
-    import safetensors.torch
+    """A voice built and exported by the torch reference's own code path
+    (get_state_for_audio_prompt + export_model_state) must load here."""
+    cfg, ref_tts, model = models
     from pocket_tts.models.tts_model import export_model_state as ref_export
 
     rng = np.random.default_rng(2)
     voice_wav = (rng.standard_normal((1, 1, 4000)) * 0.1).astype(np.float32)
     with torch.no_grad():
-        latent = ref_mimi.encode_to_latent(torch.from_numpy(voice_wav))
-        cond = torch.nn.functional.linear(latent.transpose(-1, -2),
-                                          ref_lm.speaker_proj_weight)
-        cond = torch.cat([ref_lm.bos_before_voice, cond], dim=1)
-        state = init_states(ref_lm, batch_size=1, sequence_length=cond.shape[1])
-        ref_lm.transformer(cond, state)
-        increment_steps(ref_lm, state, cond.shape[1])
+        state = ref_tts.get_state_for_audio_prompt(torch.from_numpy(voice_wav[0]))
     dest = tmp_path / "ref_voice.safetensors"
     ref_export(state, dest)
 
@@ -299,7 +331,7 @@ def test_reference_exported_state_imports(models, tmp_path):
 
 
 def test_batched_generation_matches_sequential(models):
-    _, _, _, model = models
+    _, _, model = models
     rng = np.random.default_rng(3)
     voices = [
         model.state_for_audio_array(

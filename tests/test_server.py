@@ -1,6 +1,8 @@
-"""HTTP server integration: /health, /, and a streamed /tts request producing a
-valid 24 kHz mono WAV (mirrors reference test_cli_generate WAV checks)."""
+"""HTTP server integration: /health, /, /metrics, utterance retry, and a
+streamed /tts request producing a valid 24 kHz mono WAV (mirrors reference
+test_cli_generate WAV checks, plus the SURVEY §5 observability additions)."""
 
+import json
 import threading
 import urllib.request
 import wave
@@ -11,7 +13,7 @@ import pytest
 
 from small_model import build_small_tts_model
 
-from pocket_tts_tpu.api.server import make_handler
+from pocket_tts_tpu.api.server import ServingMetrics, make_handler
 
 
 @pytest.fixture(scope="module")
@@ -21,29 +23,31 @@ def server():
     voice_wav = (rng.standard_normal((1, 1, 4000)) * 0.1).astype(np.float32)
     state = model.state_for_audio_array(voice_wav)
     model._voice_state_cache["alba|True"] = state  # avoid network voice fetch
-    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(model, "alba"))
+    metrics = ServingMetrics()
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(model, "alba", metrics))
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
-    yield f"http://127.0.0.1:{httpd.server_address[1]}", model
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", model, metrics
     httpd.shutdown()
 
 
 def test_health(server):
-    url, _ = server
+    url, _, _ = server
     with urllib.request.urlopen(url + "/health") as r:
         assert r.status == 200
         assert b"ok" in r.read()
 
 
 def test_index(server):
-    url, _ = server
+    url, _, _ = server
     with urllib.request.urlopen(url + "/") as r:
         body = r.read()
         assert b"<html" in body.lower()
 
 
 def test_tts_streams_valid_wav(server, tmp_path):
-    url, model = server
+    url, model, _ = server
     data = b"text=Hello+world+this+is+a+test"
     req = urllib.request.Request(
         url + "/tts", data=data,
@@ -64,7 +68,7 @@ def test_tts_streams_valid_wav(server, tmp_path):
 
 
 def test_tts_missing_text(server):
-    url, _ = server
+    url, _, _ = server
     req = urllib.request.Request(
         url + "/tts", data=b"",
         headers={"Content-Type": "application/x-www-form-urlencoded"},
@@ -74,3 +78,57 @@ def test_tts_missing_text(server):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_metrics_after_request(server):
+    """/metrics exposes per-stage timings + rates once a /tts succeeded
+    (SURVEY §5 observability: tokens/s, frames/s, audio-s/s)."""
+    url, _, metrics = server
+    req = urllib.request.Request(
+        url + "/tts", data=b"text=Metrics+check+sentence",
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req) as r:
+        r.read()
+    with urllib.request.urlopen(url + "/metrics") as r:
+        snap = json.loads(r.read())
+    assert snap["requests"] >= 1
+    last = snap["last_request"]
+    for key in ("voice_ms", "first_chunk_ms", "total_ms", "tokens_per_s",
+                "frames_per_s", "audio_s_per_s", "audio_s_per_s_per_chip"):
+        assert key in last, key
+    assert last["audio_s"] > 0
+    assert last["first_chunk_ms"] is not None
+    assert snap["overall_audio_s_per_s"] > 0
+    # in-process aggregate agrees with the HTTP view
+    assert metrics.snapshot()["requests"] == snap["requests"]
+
+
+def test_retry_recovers_transient_failure(server):
+    """Utterance-level retry: a generation that dies before the first audio
+    byte is retried transparently and the request still succeeds."""
+    url, model, metrics = server
+    real = model.generate_audio_stream
+    calls = {"n": 0}
+
+    def flaky(state, text, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated transient device failure")
+        yield from real(state, text, **kw)
+
+    model.generate_audio_stream = flaky
+    try:
+        before = metrics.snapshot()["retries"]
+        req = urllib.request.Request(
+            url + "/tts", data=b"text=Retry+check+sentence",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            body = r.read()
+        assert body[:4] == b"RIFF"
+        assert calls["n"] == 2
+        assert metrics.snapshot()["retries"] == before + 1
+    finally:
+        model.generate_audio_stream = real

@@ -88,6 +88,17 @@ def fused_codec(dtype, batch: int):
                                    np.asarray(w, np.float32), **_tol(dtype))
 
 
+def f32_routing():
+    """f32 Mimi params must never enable the fused kernel (VMEM: f32 weights
+    alone are 17 MB; the serving switch keys on weight dtype)."""
+    from pocket_tts_tpu.pipeline.tts import _use_fused_codec
+
+    class _W:
+        dtype = jnp.float32
+
+    assert not _use_fused_codec({"decoder": {"0": type("P", (), {"weight": _W()})()}})
+
+
 def flash_decode(dtype, batch: int, capacity: int):
     """Pallas flash-decode vs the XLA two-piece SDPA it replaces."""
     from pocket_tts_tpu.ops.flash_decode import flash_decode_ref, flash_decode_tpu
@@ -128,10 +139,12 @@ def main():
         print("WARNING: running on CPU — this does NOT validate Mosaic lowering",
               flush=True)
 
-    for dtype in (jnp.bfloat16, jnp.float32):
-        for b in (1, 4, 8):
-            check(f"fused_codec[{jnp.dtype(dtype).name} b{b}]",
-                  lambda d=dtype, b=b: fused_codec(d, b))
+    # production enables the fused codec for bf16 at ANY batch (BATCH_TILE-row
+    # grid); f32 always routes to the XLA op program (_use_fused_codec), so the
+    # f32 gate checks the routing rather than compiling a never-enabled kernel.
+    for b in (1, 4, 8, 32):
+        check(f"fused_codec[bfloat16 b{b}]", lambda b=b: fused_codec(jnp.bfloat16, b))
+    check("fused_codec[f32 routes to XLA]", f32_routing)
 
     # flash-decode / GEMV gates are optional: only gate what exists & is wired
     try:
