@@ -791,15 +791,18 @@ class TTSModel:
         max_gen_len = self._estimate_max_gen_len(max(token_counts))
         pad_to = _bucket(max(token_counts), PROMPT_BUCKETS)
 
+        # same overshoot guard as the streaming path: scan blocks may append up
+        # to SCAN_BLOCK_FRAMES-1 slots past max_gen_len
         if isinstance(model_states, list):
             slots_used = max(int(np.asarray(s.write_pos)) for s in model_states)
-            required = slots_used + pad_to + max_gen_len
+            required = slots_used + pad_to + max_gen_len + SCAN_BLOCK_FRAMES - 1
             capacity = _bucket(required, CAPACITY_BUCKETS)
             lm_state = batch_states(model_states, capacity)
         else:
             lm_state = model_states
             slots_used = int(np.asarray(lm_state.write_pos))
-            capacity = _bucket(slots_used + pad_to + max_gen_len, CAPACITY_BUCKETS)
+            required = slots_used + pad_to + max_gen_len + SCAN_BLOCK_FRAMES - 1
+            capacity = _bucket(required, CAPACITY_BUCKETS)
             lm_state = expand_state(lm_state, capacity)
             assert lm_state.offset.shape[0] == B
 
@@ -818,27 +821,51 @@ class TTSModel:
         prev_latent = jnp.zeros((B, ldim), jnp.float32)
         eos_step = np.full((B,), -1, np.int64)
         end_step = np.full((B,), max_gen_len, np.int64)
-        frames: list[np.ndarray] = []
-        eos_flags: list[np.ndarray] = []
+        frames: list[np.ndarray] = []   # per step: [B, 1, 1920] (device arrays)
+        eos_flags: list[np.ndarray] = []  # per step: [B]
         start_slots = slots_used + pad_to
-        for step in range(max_gen_len):
-            noise = jnp.asarray(noise_fn((B, ldim)))
+
+        # Multi-frame scan blocks, one dispatch per SCAN_BLOCK_FRAMES frames
+        # (same shape as the streaming path): a single-frame dispatch at b32
+        # costs a full host->device round trip per 80 ms frame across all rows,
+        # which dominated the b32 bench. Flags resolve one block behind so the
+        # newest block stays speculatively in flight.
+        resolved = 0  # steps whose EOS flags have been folded into end_step
+        step = 0
+        done = False
+        while step < max_gen_len and not done:
+            K = 1 if step < FIRST_BLOCK_FRAMES else SCAN_BLOCK_FRAMES
+            att = self._att_bucket(start_slots + step + K, capacity)
             is_bos = jnp.full((B,), step == 0, bool)
-            att = self._att_bucket(start_slots + step + 1, capacity)
-            latent, eos, audio, lm_state, mimi_state = self._fused_step_fn(att)(
-                self.params, self.mimi_params, lm_state, mimi_state,
-                prev_latent, is_bos, noise,
-            )
+            if K == 1:
+                noise = jnp.asarray(noise_fn((B, ldim)))
+                latent, eos, audio, lm_state, mimi_state = self._fused_step_fn(att)(
+                    self.params, self.mimi_params, lm_state, mimi_state,
+                    prev_latent, is_bos, noise,
+                )
+                frames.append(audio)
+                eos_flags.append(eos)
+            else:
+                noise = jnp.asarray(noise_fn((K, B, ldim)))
+                latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(K, att)(
+                    self.params, self.mimi_params, lm_state, mimi_state,
+                    prev_latent, is_bos, noise,
+                )
+                for i in range(K):  # lazy slices; no device sync here
+                    frames.append(audio[i])
+                    eos_flags.append(eos[i])
+                latent = latent[-1]
             prev_latent = latent
-            frames.append(audio)
-            eos_flags.append(eos)
-            # resolve flags a couple of steps behind to avoid stalling the device
-            if step >= SPECULATIVE_DEPTH:
-                self._update_row_cuts(eos_flags, step - SPECULATIVE_DEPTH, eos_step,
-                                      end_step, frames_after_eos)
-            if all(end_step <= step - SPECULATIVE_DEPTH):
-                break
-        for s in range(max(0, len(frames) - SPECULATIVE_DEPTH), len(frames)):
+            step += K
+            # resolve every fully-dispatched step except the newest block's
+            for s in range(resolved, min(step - K, max_gen_len)):
+                self._update_row_cuts(eos_flags, s, eos_step, end_step,
+                                      frames_after_eos)
+                resolved = s + 1
+                if all(end_step <= s):
+                    done = True
+                    break
+        for s in range(resolved, min(len(frames), max_gen_len)):
             self._update_row_cuts(eos_flags, s, eos_step, end_step, frames_after_eos)
 
         if (eos_step < 0).any():

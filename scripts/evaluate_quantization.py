@@ -1,20 +1,26 @@
 """Quantization quality/perf evaluation harness.
 
-Equivalent of the reference scripts/evaluate_quantization.py: runs a sweep of
-quantization configs x voices, measuring real-time speed (RTS = generated audio
-seconds / wall-clock) and SNR of quantized output vs the f32 baseline on a
-shared noise stream, then writes a CSV + markdown report. PESQ/WER hooks are
-optional (skipped when the packages are absent, as in the reference).
+Equivalent of the reference scripts/evaluate_quantization.py (648 LoC): runs a
+sweep of quantization configs x voices, measuring
+  - speed: RTS = generated audio seconds / wall-clock
+  - quality: SNR vs the f32 baseline on a shared noise stream, PESQ
+    (perceptual, reference lines ~231-263), and Whisper word-error-rate deltas
+    baseline vs quantized (reference lines ~269-335)
+then writes CSV + markdown reports with the full schema. PESQ and WER are
+optional-import-guarded exactly like the reference: absent packages (pesq,
+jiwer, whisper) mark the column "n/a" and the sweep still completes.
 
 Offline-friendly: with --random-init the sweep runs on random weights and
-synthetic voices — perf numbers remain meaningful, quality deltas still measure
-quantization error of the same computation graph.
+synthetic voices — perf numbers remain meaningful, SNR still measures
+quantization error of the same computation graph (PESQ/WER need real weights
+AND the optional packages, so they are doubly gated).
 """
 
 from __future__ import annotations
 
 import argparse
 import csv
+import statistics
 import time
 from pathlib import Path
 
@@ -34,12 +40,94 @@ def compute_snr(reference: np.ndarray, test: np.ndarray) -> float:
     return 10.0 * np.log10(p_sig / max(p_noise, 1e-12))
 
 
+def compute_pesq(baseline: np.ndarray, test: np.ndarray,
+                 sample_rate: int) -> float | None:
+    """Wideband PESQ of quantized vs baseline audio. None when the `pesq`
+    package is absent (optional dep, mirrors reference ~231-263)."""
+    try:
+        from pesq import pesq  # noqa: PLC0415
+    except ImportError:
+        return None
+    import scipy.signal
+
+    target_sr = 16000  # wideband PESQ operates at 16 kHz
+    n = min(len(baseline), len(test))
+    if n == 0:
+        return None
+    b, t = baseline[:n], test[:n]
+    if sample_rate != target_sr:
+        from math import gcd
+
+        g = gcd(target_sr, sample_rate)
+        b = scipy.signal.resample_poly(b, target_sr // g, sample_rate // g)
+        t = scipy.signal.resample_poly(t, target_sr // g, sample_rate // g)
+    try:
+        return float(pesq(target_sr, b, t, "wb"))
+    except Exception:
+        return None
+
+
+class WhisperASR:
+    """Lazy Whisper transcriber for WER measurement. Construction returns a
+    no-op shell when whisper or jiwer is unavailable (reference ~269-281)."""
+
+    def __init__(self, model_name: str = "base"):
+        self.model = None
+        self.wer = None
+        try:
+            import whisper  # noqa: PLC0415
+            from jiwer import wer  # noqa: PLC0415
+        except ImportError:
+            return
+        self.model = whisper.load_model(model_name)
+        self.wer = wer
+
+    @property
+    def available(self) -> bool:
+        return self.model is not None
+
+    def word_error_rate(self, audio: np.ndarray, sample_rate: int,
+                        reference_text: str) -> float | None:
+        if not self.available:
+            return None
+        import tempfile
+        import wave
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+            pcm = np.clip(audio, -1.0, 1.0)
+            with wave.open(tmp.name, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sample_rate)
+                w.writeframes((pcm * 32767).astype(np.int16).tobytes())
+            transcript = self.model.transcribe(tmp.name, language="en")["text"]
+        return float(self.wer(reference_text.lower().strip(),
+                              transcript.lower().strip()))
+
+
 CONFIGS = [
     ("f32", frozenset()),
     ("int8_attention", frozenset({"attention"})),
     ("int8_ffn", frozenset({"ffn"})),
     ("int8_attention_ffn", frozenset({"attention", "ffn"})),
 ]
+
+# diverse sentences exercising phoneme coverage, used for WER stress when real
+# weights + whisper are available (the reference keeps a similar fixed set)
+WER_SENTENCES = [
+    "The quick brown fox jumps over the lazy dog.",
+    "She sells seashells by the seashore on sunny days.",
+    "A journey of a thousand miles begins with a single step.",
+    "The weather forecast predicts heavy rain this weekend.",
+]
+
+
+def fmt(v) -> str:
+    if v is None:
+        return "n/a"
+    if isinstance(v, float):
+        return f"{v:.3f}" if np.isfinite(v) else "inf"
+    return str(v)
 
 
 def main() -> int:
@@ -49,6 +137,8 @@ def main() -> int:
     parser.add_argument("--voices", type=int, default=4, help="number of synthetic voices")
     parser.add_argument("--out", default="quantization_report")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--whisper-model", default="base")
+    parser.add_argument("--skip-wer", action="store_true")
     args = parser.parse_args()
 
     from pocket_tts_tpu.pipeline.tts import NoiseSource, TTSModel
@@ -57,6 +147,10 @@ def main() -> int:
     model = TTSModel.load_model(language=args.language,
                                 allow_random_init=args.random_init)
     f32_params = model.params
+    asr = WhisperASR(args.whisper_model) if not args.skip_wer else None
+    if asr is not None and not asr.available:
+        print("whisper/jiwer not installed — WER columns will be n/a")
+        asr = None
 
     rng = np.random.default_rng(args.seed)
     voices = [
@@ -65,10 +159,17 @@ def main() -> int:
         )
         for _ in range(args.voices)
     ]
-    token_sets = [list(rng.integers(1, 100, size=20)) for _ in range(args.voices)]
+    if args.random_init:
+        # random tokenizer-free runs: fixed token ids stand in for sentences
+        token_sets = [list(rng.integers(1, 100, size=20)) for _ in range(args.voices)]
+        sentences = [None] * args.voices
+    else:
+        sentences = [WER_SENTENCES[i % len(WER_SENTENCES)] for i in range(args.voices)]
+        token_sets = [model._encode_text(s) for s in sentences]
 
     rows = []
     baselines: dict[int, np.ndarray] = {}
+    wer_baseline: dict[int, float | None] = {}
     for name, qconfig in CONFIGS:
         model.params = (
             quantize_flow_lm_int8(f32_params, qconfig) if qconfig else f32_params
@@ -84,27 +185,72 @@ def main() -> int:
             )
             wall = time.monotonic() - t0
             rts = (len(audio) / model.sample_rate) / max(wall, 1e-9)
+            pesq_score = None
+            wer_b = wer_q = None
             if name == "f32":
                 baselines[v] = audio
                 snr = float("inf")
+                if asr is not None and sentences[v]:
+                    wer_b = asr.word_error_rate(audio, model.sample_rate, sentences[v])
+                wer_baseline[v] = wer_b
             else:
                 snr = compute_snr(baselines[v], audio)
-            rows.append({"config": name, "voice": v, "rts": round(rts, 2),
-                         "snr_db": round(snr, 2) if np.isfinite(snr) else "inf",
-                         "audio_s": round(len(audio) / model.sample_rate, 2)})
+                pesq_score = compute_pesq(baselines[v], audio, model.sample_rate)
+                wer_b = wer_baseline.get(v)
+                if asr is not None and sentences[v]:
+                    wer_q = asr.word_error_rate(audio, model.sample_rate, sentences[v])
+            rows.append({
+                "config": name, "voice": v, "rts": round(rts, 2),
+                "snr_db": round(snr, 2) if np.isfinite(snr) else "inf",
+                "pesq": None if pesq_score is None else round(pesq_score, 3),
+                "wer_baseline": wer_b, "wer_quantized": wer_q,
+                "audio_s": round(len(audio) / model.sample_rate, 2),
+            })
             print(rows[-1])
+
+    # per-config summary (mean RTS / SNR / PESQ / WER delta, like the
+    # reference's ConfigSummary)
+    summaries = []
+    for name, _ in CONFIGS:
+        sub = [r for r in rows if r["config"] == name]
+        snrs = [r["snr_db"] for r in sub if isinstance(r["snr_db"], (int, float))]
+        pesqs = [r["pesq"] for r in sub if r["pesq"] is not None]
+        deltas = [r["wer_quantized"] - r["wer_baseline"] for r in sub
+                  if r["wer_quantized"] is not None and r["wer_baseline"] is not None]
+        summaries.append({
+            "config": name,
+            "mean_rts": round(statistics.mean(r["rts"] for r in sub), 2),
+            "mean_snr_db": round(statistics.mean(snrs), 2) if snrs else None,
+            "mean_pesq": round(statistics.mean(pesqs), 3) if pesqs else None,
+            "mean_wer_delta": round(statistics.mean(deltas), 4) if deltas else None,
+        })
+        print(summaries[-1])
 
     out = Path(args.out)
     with open(out.with_suffix(".csv"), "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=list(rows[0]))
         writer.writeheader()
         writer.writerows(rows)
+    with open(str(out) + "_summary.csv", "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(summaries[0]))
+        writer.writeheader()
+        writer.writerows(summaries)
     with open(out.with_suffix(".md"), "w") as f:
-        f.write("| config | voice | RTS | SNR (dB) | audio (s) |\n|---|---|---|---|---|\n")
+        f.write("# Quantization evaluation\n\n")
+        f.write("| config | voice | RTS | SNR (dB) | PESQ | WER base | WER quant "
+                "| audio (s) |\n|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(f"| {r['config']} | {r['voice']} | {r['rts']} | {r['snr_db']} "
-                    f"| {r['audio_s']} |\n")
-    print(f"wrote {out.with_suffix('.csv')} and {out.with_suffix('.md')}")
+                    f"| {fmt(r['pesq'])} | {fmt(r['wer_baseline'])} "
+                    f"| {fmt(r['wer_quantized'])} | {r['audio_s']} |\n")
+        f.write("\n## Summary\n\n")
+        f.write("| config | mean RTS | mean SNR (dB) | mean PESQ | mean WER delta |"
+                "\n|---|---|---|---|---|\n")
+        for s in summaries:
+            f.write(f"| {s['config']} | {s['mean_rts']} | {fmt(s['mean_snr_db'])} "
+                    f"| {fmt(s['mean_pesq'])} | {fmt(s['mean_wer_delta'])} |\n")
+    print(f"wrote {out.with_suffix('.csv')}, {out}_summary.csv and "
+          f"{out.with_suffix('.md')}")
     return 0
 
 

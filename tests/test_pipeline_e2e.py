@@ -345,6 +345,11 @@ def test_batched_generation_matches_sequential(models):
     row_noise = [RecordedNoise(100 + i) for i in range(2)]
 
     def batch_noise(shape):
+        if len(shape) == 3:  # scan block: [K, B, L], row streams advance per step
+            K, B, L = shape
+            return np.stack(
+                [np.stack([row_noise[b]((L,)) for b in range(B)]) for _ in range(K)]
+            )
         B, L = shape
         return np.stack([row_noise[b]((L,)) for b in range(B)])
 
