@@ -171,6 +171,7 @@ def mha_step(
     *,
     num_heads: int,
     att_len: int | None = None,
+    flash_ctx: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One streaming attention call: project, rope, attend over cache + block.
 
@@ -181,6 +182,13 @@ def mha_step(
     (nn/rope.rope_tables, decode_masks). `att_len` (static): attend over just
     the first att_len slots — a host-chosen bucket >= the slot watermark. Cuts
     KV reads from O(capacity) to O(valid prefix) without changing numerics.
+
+    `flash_ctx = (pos_cache, offset)` routes the T=1/context=None case to the
+    Pallas flash-decode kernel (ops/flash_decode.py), which reads the cache in
+    place: no `cache[:, :att_len]` slice — slicing a buffer that a later
+    dynamic_update_slice writes forces XLA to copy the whole cache per layer
+    per step (measured 2x slower at batch 32) — the kernel's grid just stops
+    at the att_len tile instead.
     """
     B, T, D = x.shape
     C = cache_k.shape[1]
@@ -188,10 +196,18 @@ def mha_step(
     rotr, roti = rope_tabs
     q, k = rotate(q, rotr, roti), rotate(k, rotr, roti)
 
-    if att_len is not None and att_len < C:
-        cache_k = cache_k[:, :att_len]
-        cache_v = cache_v[:, :att_len]
+    if flash_ctx is not None:
+        from pocket_tts_tpu.ops.flash_decode import flash_decode_tpu
 
-    out = attend_cached(q, cache_k, cache_v, k, v, masks[0], masks[1])
+        pos_cache, offset = flash_ctx
+        out = flash_decode_tpu(
+            q[:, 0], cache_k, cache_v, k[:, 0], v[:, 0], pos_cache, offset,
+            att_len=att_len,
+        )[:, None]
+    else:
+        if att_len is not None and att_len < C:
+            cache_k = cache_k[:, :att_len]
+            cache_v = cache_v[:, :att_len]
+        out = attend_cached(q, cache_k, cache_v, k, v, masks[0], masks[1])
     out = out.reshape(B, T, D)
     return matmul_t(out, out_proj), k, v

@@ -29,6 +29,10 @@ import jax.numpy as jnp
 from pocket_tts_tpu.nn.attention import decode_masks, mha_oneshot, mha_step
 from pocket_tts_tpu.nn.linear import matmul_t
 from pocket_tts_tpu.nn.rope import rope_tables
+from pocket_tts_tpu.ops.flash_decode import (
+    flash_decode_supported,
+    use_flash_decode,
+)
 
 Params = dict[str, Any]
 
@@ -129,6 +133,7 @@ def _layer_step(
     rope_tabs: tuple[jnp.ndarray, jnp.ndarray],
     masks: tuple[jnp.ndarray, jnp.ndarray],
     att_len: int | None = None,
+    flash_ctx=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     h = layer_norm(x, p["norm1_scale"], p["norm1_bias"])
     attn_out, k_new, v_new = mha_step(
@@ -141,6 +146,7 @@ def _layer_step(
         masks,
         num_heads=cfg.num_heads,
         att_len=att_len,
+        flash_ctx=flash_ctx,
     )
     if "ls1" in p:
         attn_out = attn_out * p["ls1"]
@@ -248,15 +254,31 @@ def transformer_apply(
     # layer-invariant per-step work, hoisted out of the scan: rotation tables
     # and attention masks (at tiny decode shapes, op count dominates cost)
     tabs = rope_tables(state.offset, T, dh, cfg.max_period, batch=x.shape[0])
-    pos_cache = state.pos
-    if att is not None and att < state.k.shape[2]:
-        pos_cache = pos_cache[:, :att]
-    masks = decode_masks(pos_cache, state.offset, T, cfg.context)
+
+    # T=1 decode over a non-ring, unwindowed cache routes to the Pallas
+    # flash-decode kernel (pos-map masking happens inside it; no masks needed)
+    flash = (
+        not ring
+        and T == 1
+        and cfg.context is None
+        and use_flash_decode()
+        and flash_decode_supported(att or state.k.shape[2], dh)
+    )
+    if flash:
+        flash_ctx = (state.pos, state.offset)
+        masks = (None, None)
+    else:
+        flash_ctx = None
+        pos_cache = state.pos
+        if att is not None and att < state.k.shape[2]:
+            pos_cache = pos_cache[:, :att]
+        masks = decode_masks(pos_cache, state.offset, T, cfg.context)
 
     def body(carry, xs):
         h = carry
         p, ck, cv = xs
-        h, k_new, v_new = _layer_step(cfg, h, p, ck, cv, tabs, masks, att)
+        h, k_new, v_new = _layer_step(cfg, h, p, ck, cv, tabs, masks, att,
+                                      flash_ctx)
         return h, (k_new, v_new)
 
     h, (ks, vs) = jax.lax.scan(
