@@ -324,6 +324,14 @@ def make_handler(model, default_voice: str, metrics: ServingMetrics | None = Non
                     first_chunk_ms = None
                     samples = 0
                     for attempt in range(GENERATION_RETRIES + 1):
+                        # per-attempt bookkeeping resets: a failed attempt's
+                        # latency/sample counts and hold-buffered PCM (with
+                        # FIRST_CHUNK_LENGTH_SECONDS > 0 the writer holds
+                        # bytes that never reached the client) must not leak
+                        # into the retry
+                        first_chunk_ms = None
+                        samples = 0
+                        writer.discard_held()
                         try:
                             for chunk in model.generate_audio_stream(state, text):
                                 if first_chunk_ms is None:
@@ -334,7 +342,9 @@ def make_handler(model, default_voice: str, metrics: ServingMetrics | None = Non
                         except BrokenPipeError:
                             raise
                         except Exception:
-                            if samples > 0 or attempt >= GENERATION_RETRIES:
+                            # retry only while no PCM byte actually reached the
+                            # client (held bytes don't count — they're dropped)
+                            if writer.pcm_bytes_sent > 0 or attempt >= GENERATION_RETRIES:
                                 raise
                             logger.exception(
                                 "generation failed before first byte; retrying "

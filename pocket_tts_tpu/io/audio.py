@@ -126,6 +126,7 @@ class StreamingWAVWriter:
         hold_seconds = float(os.environ.get("FIRST_CHUNK_LENGTH_SECONDS", "0"))
         self._hold_bytes_target = int(sample_rate * hold_seconds) * _PCM16_BYTES
         self._held: bytearray | None = bytearray()
+        self.pcm_bytes_sent = 0  # PCM actually written to the sink (not held)
 
     def write_header(self, sample_rate: int) -> None:
         self.output_stream.write(wav_header(sample_rate, _OPEN_ENDED_DATA_BYTES))
@@ -134,14 +135,22 @@ class StreamingWAVWriter:
         data = pcm16(audio_chunk)
         if self._held is None:
             self.output_stream.write(data)
+            self.pcm_bytes_sent += len(data)
             return
         self._held.extend(data)
         if len(self._held) >= self._hold_bytes_target:
             self._release_held()
 
+    def discard_held(self) -> None:
+        """Drop hold-buffered PCM that never reached the sink (server retry:
+        a failed attempt's held bytes must not replay into the next attempt)."""
+        if self._held is not None:
+            self._held.clear()
+
     def _release_held(self) -> None:
         if self._held is not None:
             self.output_stream.write(bytes(self._held))
+            self.pcm_bytes_sent += len(self._held)
             self._held = None
 
     def finalize(self) -> None:

@@ -132,3 +132,53 @@ def test_retry_recovers_transient_failure(server):
         assert metrics.snapshot()["retries"] == before + 1
     finally:
         model.generate_audio_stream = real
+
+
+def test_retry_with_held_first_chunk_no_duplicate_audio(server, monkeypatch, tmp_path):
+    """FIRST_CHUNK_LENGTH_SECONDS > 0 holds PCM in the writer; a first attempt
+    that emits chunks into the hold buffer and THEN dies must be retried (no
+    byte reached the client) and the held bytes must not replay — the final
+    WAV contains exactly one generation's audio."""
+    import wave
+
+    url, model, metrics = server
+    real = model.generate_audio_stream
+    calls = {"n": 0}
+
+    def flaky(state, text, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # emit a couple of real chunks (they land in the hold buffer,
+            # never the socket), then die
+            it = real(state, text, **kw)
+            yield next(it)
+            yield next(it)
+            raise RuntimeError("simulated mid-hold device failure")
+        yield from real(state, text, **kw)
+
+    # hold ~10 s of audio: far more than the toy generation produces, so every
+    # first-attempt chunk is guaranteed to still be held at failure time
+    monkeypatch.setenv("FIRST_CHUNK_LENGTH_SECONDS", "10")
+    model.generate_audio_stream = flaky
+    try:
+        req = urllib.request.Request(
+            url + "/tts", data=b"text=Held+retry+check",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            body = r.read()
+        assert calls["n"] == 2
+        p = tmp_path / "held.wav"
+        p.write_bytes(body)
+        with wave.open(str(p)) as w:
+            samples = np.frombuffer(w.readframes(-1), np.int16)
+        # reference single-shot generation of the same text through the same
+        # pipeline: retried output = one generation + 0.2 s silence tail
+        single = model.generate_audio(
+            model._voice_state_cache["alba|True"], "Held retry check")
+        tail = int(0.2 * model.sample_rate)
+        assert samples.size == single.shape[0] + tail, (
+            samples.size, single.shape[0], tail)
+    finally:
+        model.generate_audio_stream = real

@@ -99,35 +99,56 @@ def f32_routing():
     assert not _use_fused_codec({"decoder": {"0": type("P", (), {"weight": _W()})()}})
 
 
-def flash_decode(dtype, batch: int, capacity: int):
-    """Pallas flash-decode vs the XLA two-piece SDPA it replaces."""
+def flash_decode(dtype, batch: int, capacity: int, att_len: int | None = None):
+    """Pallas flash-decode vs its XLA twin (= the production two-piece SDPA;
+    tests/test_flash_decode.py proves the twin matches attend_cached)."""
     from pocket_tts_tpu.ops.flash_decode import flash_decode_ref, flash_decode_tpu
 
     H, D = 16, 64
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 4)
-    q = jax.random.normal(ks[0], (batch, H, 1, D)).astype(dtype)
-    k = jax.random.normal(ks[1], (batch, H, capacity, D)).astype(dtype)
-    v = jax.random.normal(ks[2], (batch, H, capacity, D)).astype(dtype)
-    pos = jnp.broadcast_to(jnp.arange(capacity)[None, :], (batch, capacity))
-    pos = jnp.where(pos < capacity - 13, pos, -1)  # some dead slots
-    qpos = jnp.full((batch,), capacity - 20, jnp.int32)
-    got = jax.jit(flash_decode_tpu)(q, k, v, pos, qpos)
-    want = jax.jit(flash_decode_ref)(q, k, v, pos, qpos)
+    rng = np.random.default_rng(capacity + batch)
+    q = jnp.asarray(rng.standard_normal((batch, H, D)), dtype)
+    k = jnp.asarray(rng.standard_normal((batch, capacity, H, D)), dtype)
+    v = jnp.asarray(rng.standard_normal((batch, capacity, H, D)), dtype)
+    kn = jnp.asarray(rng.standard_normal((batch, H, D)), dtype)
+    vn = jnp.asarray(rng.standard_normal((batch, H, D)), dtype)
+    # append-ordered pos map with dead slots and heterogeneous per-row offsets
+    lim = att_len or capacity
+    pos = np.full((batch, capacity), -1, np.int32)
+    offset = np.zeros((batch,), np.int32)
+    for b in range(batch):
+        fill = int(lim * (0.3 + 0.6 * b / max(batch - 1, 1)))
+        p = 0
+        for c in range(fill):
+            if c % 7 == 6:
+                continue
+            pos[b, c] = p
+            p += 1
+        offset[b] = p
+    pos, offset = jnp.asarray(pos), jnp.asarray(offset)
+    got = jax.jit(flash_decode_tpu, static_argnames=("att_len",))(
+        q, k, v, kn, vn, pos, offset, att_len=att_len)
+    want = jax.jit(flash_decode_ref)(q, k, v, kn, vn, pos, offset)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32), **_tol(dtype))
 
 
-def int8_gemv(batch: int):
-    """Pallas int8 GEMV vs the XLA dequant-matmul."""
-    from pocket_tts_tpu.ops.gemv import gemv_int8_ref, gemv_int8_tpu
+def gemv(batch: int, quant: bool):
+    """Pallas weight-streaming GEMV (plain + int8 dict) vs the XLA matmul."""
+    from pocket_tts_tpu.nn.linear import matmul_t
+    from pocket_tts_tpu.ops.gemv import gemv_t
 
-    key = jax.random.PRNGKey(0)
-    w = jax.random.randint(key, (4096, 1024), -127, 127, jnp.int8)
-    scale = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (4096,))) * 0.01
-    x = jax.random.normal(jax.random.PRNGKey(2), (batch, 1024)).astype(jnp.bfloat16)
-    got = jax.jit(gemv_int8_tpu)(x, w, scale)
-    want = jax.jit(gemv_int8_ref)(x, w, scale)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((batch, 1024)), jnp.bfloat16)
+    if quant:
+        w = {
+            "q": jnp.asarray(rng.integers(-127, 128, (4096, 1024)), jnp.int8),
+            "s": jnp.asarray(np.abs(rng.standard_normal((4096,))) * 0.01,
+                             jnp.float32),
+        }
+    else:
+        w = jnp.asarray(rng.standard_normal((4096, 1024)) * 0.02, jnp.bfloat16)
+    got = gemv_t(x, w)
+    want = matmul_t(x, w)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32), rtol=2e-2, atol=2e-2)
 
@@ -146,27 +167,16 @@ def main():
         check(f"fused_codec[bfloat16 b{b}]", lambda b=b: fused_codec(jnp.bfloat16, b))
     check("fused_codec[f32 routes to XLA]", f32_routing)
 
-    # flash-decode / GEMV gates are optional: only gate what exists & is wired
-    try:
-        from pocket_tts_tpu.ops import flash_decode as _fd  # noqa: F401
+    # every named kernel is checked unconditionally: a missing symbol is a
+    # FAIL (raised inside check()), never a silent skip
+    for b, cap, att in ((1, 768, None), (32, 768, None), (1, 4096, None),
+                        (32, 768, 384)):
+        label = f"flash_decode[bf16 b{b} cap{cap}" + (f" att{att}]" if att else "]")
+        check(label, lambda b=b, c=cap, a=att: flash_decode(jnp.bfloat16, b, c, a))
 
-        have_fd = hasattr(_fd, "flash_decode_tpu") and hasattr(_fd, "flash_decode_ref")
-    except ImportError:
-        have_fd = False
-    if have_fd:
-        for b, cap in ((1, 768), (32, 768), (1, 4096)):
-            check(f"flash_decode[bf16 b{b} cap{cap}]",
-                  lambda b=b, c=cap: flash_decode(jnp.bfloat16, b, c))
-
-    try:
-        from pocket_tts_tpu.ops import gemv as _g  # noqa: F401
-
-        have_g = hasattr(_g, "gemv_int8_tpu") and hasattr(_g, "gemv_int8_ref")
-    except ImportError:
-        have_g = False
-    if have_g:
-        for b in (1, 8):
-            check(f"int8_gemv[b{b}]", lambda b=b: int8_gemv(b))
+    for b, quant in ((1, False), (1, True), (8, True)):
+        check(f"gemv[b{b} {'int8' if quant else 'bf16'}]",
+              lambda b=b, q=quant: gemv(b, q))
 
     if FAILURES:
         print(f"\n{len(FAILURES)} kernel gate(s) FAILED: {FAILURES}", flush=True)
