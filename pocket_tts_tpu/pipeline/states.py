@@ -17,6 +17,7 @@ from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 
+from pocket_tts_tpu.core.typecheck import typechecked
 from pocket_tts_tpu.nn.transformer import StackState
 
 
@@ -56,6 +57,7 @@ def state_to_reference_dict(state: StackState) -> dict[str, np.ndarray]:
     return out
 
 
+@typechecked(state=StackState, dest=(str, Path))
 def export_model_state(state: StackState, dest: str | Path) -> None:
     from safetensors.numpy import save_file
 

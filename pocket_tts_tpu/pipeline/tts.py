@@ -45,6 +45,7 @@ from pocket_tts_tpu.core.hub import (
     download_if_necessary,
     get_predefined_voice,
 )
+from pocket_tts_tpu.core.typecheck import typechecked
 from pocket_tts_tpu.core.weights import (
     flow_lm_params_from_sd,
     load_safetensors,
@@ -227,6 +228,12 @@ class TTSModel:
     # ------------------------------------------------------------------ load
 
     @classmethod
+    @typechecked(
+        language=(str, None), config=(str, Path, None),
+        temp=(float, int), lsd_decode_steps=int,
+        noise_clamp=(float, int, None), eos_threshold=(float, int),
+        quantize=bool, allow_random_init=bool, param_dtype=str,
+    )
     def load_model(
         cls,
         language: str | None = None,
@@ -418,6 +425,7 @@ class TTSModel:
     def init_blank_state(self, batch_size: int = 1, capacity: int = 256) -> StackState:
         return init_flow_lm_state(self.specs, batch_size, capacity, self._dtype)
 
+    @typechecked(audio_conditioning=(str, Path, np.ndarray), truncate=bool)
     def get_state_for_audio_prompt(
         self, audio_conditioning: str | Path | np.ndarray, truncate: bool = False
     ) -> StackState:
@@ -558,6 +566,10 @@ class TTSModel:
             )
         return self.tokenizer.encode(text)
 
+    @typechecked(
+        model_state=StackState, text_to_generate=str, max_tokens=int,
+        frames_after_eos=(int, None), copy_state=bool, seed=(int, None),
+    )
     def generate_audio_stream(
         self,
         model_state: StackState,
@@ -751,6 +763,10 @@ class TTSModel:
         true_len = jnp.full((B,), len(tokens), jnp.int32)
         return self._text_prompt_fn()(self.params, lm_state, jnp.asarray(tok), true_len)
 
+    @typechecked(
+        model_state=StackState, text_to_generate=str, max_tokens=int,
+        frames_after_eos=(int, None), copy_state=bool, seed=(int, None),
+    )
     def generate_audio(
         self,
         model_state: StackState,

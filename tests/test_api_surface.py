@@ -57,3 +57,33 @@ def test_quantization_roundtrip():
     w = np.asarray(params["transformer"]["w1"])
     deq = np.asarray(dequantize_weight(q["transformer"]["w1"]))
     assert np.max(np.abs(w - deq)) / np.max(np.abs(w)) < 0.02
+
+
+def test_public_api_runtime_typechecks():
+    """The public entry points reject wrong argument types with a clear
+    TypeError at call time (the reference beartypes its package,
+    pocket_tts/__init__.py:6-19; here: core/typecheck.py)."""
+    import numpy as np
+    import pytest
+
+    from small_model import build_small_tts_model
+    from pocket_tts_tpu import TTSModel, export_model_state
+
+    model = build_small_tts_model()
+    rng = np.random.default_rng(0)
+    state = model.state_for_audio_array(
+        (rng.standard_normal((1, 1, 3000)) * 0.1).astype(np.float32))
+
+    with pytest.raises(TypeError, match="text_to_generate"):
+        model.generate_audio(state, 123)
+    with pytest.raises(TypeError, match="model_state"):
+        model.generate_audio("not a state", "hello")
+    with pytest.raises(TypeError, match="seed"):
+        # generator: the check must fire at call time, not first next()
+        model.generate_audio_stream(state, "hello", seed="zero")
+    with pytest.raises(TypeError, match="audio_conditioning"):
+        model.get_state_for_audio_prompt(12345)
+    with pytest.raises(TypeError, match="dest"):
+        export_model_state(state, 42)
+    with pytest.raises(TypeError, match="language"):
+        TTSModel.load_model(language=3)
