@@ -192,9 +192,14 @@ class TTSModel:
         self._jit_cache: dict[Any, Callable] = {}
         self._voice_state_cache: dict[str, StackState] = {}
         self.mesh = None  # set via shard_for_mesh for multi-chip DP serving
-        # attend only over a bucketed valid prefix of the KV cache (cuts KV
-        # reads early in a generation); costs one extra compile per bucket
-        self.att_bucketing = True
+        # Grow the KV cache bucket-by-bucket as slots fill instead of
+        # allocating the final capacity up front: every step's attention then
+        # reads only the current bucket (~the valid prefix), with bit-identical
+        # numerics (masked slots contribute exactly 0 after softmax). Costs one
+        # pad-copy per bucket transition and one compile per bucket — strictly
+        # cheaper than att_len slicing, which forces XLA to copy the cache
+        # (sliced read + in-place dynamic_update_slice write on one buffer).
+        self.cache_growth = True
 
     # ------------------------------------------------------------------ props
 
@@ -548,12 +553,20 @@ class TTSModel:
 
     # -------------------------------------------------------------- generation
 
-    def _att_bucket(self, needed: int, capacity: int) -> int | None:
-        """Static attention-length bucket covering `needed` valid slots."""
-        if not self.att_bucketing:
-            return None
-        b = ((needed + 127) // 128) * 128
-        return None if b >= capacity else b
+    def _ensure_capacity(self, lm_state: StackState, slots_needed: int) -> StackState:
+        """Progressive capacity growth: pad the cache up to the smallest bucket
+        covering `slots_needed` (the slot watermark after the next dispatch).
+        No-op when the cache is already big enough; never shrinks."""
+        cap = _bucket(slots_needed, CAPACITY_BUCKETS)
+        if cap > lm_state.k.shape[2]:
+            lm_state = expand_state(lm_state, cap)
+            if self.mesh is not None:
+                from pocket_tts_tpu.parallel.mesh import shard_decode_state
+
+                lm_state = shard_decode_state(
+                    lm_state, self.mesh, model_axis=getattr(self, "_tp", False)
+                )
+        return lm_state
 
     def _estimate_max_gen_len(self, token_count: int) -> int:
         gen_len_sec = token_count / self._TOKENS_PER_SECOND_ESTIMATE + self._GEN_SECONDS_PADDING
@@ -642,6 +655,8 @@ class TTSModel:
         pad_to = _bucket(token_count, PROMPT_BUCKETS)
         required = slots_used + pad_to + max_gen_len + SCAN_BLOCK_FRAMES - 1
         capacity = _bucket(required, CAPACITY_BUCKETS)
+        if self.cache_growth:  # start small; _ensure_capacity grows per block
+            capacity = _bucket(slots_used + pad_to, CAPACITY_BUCKETS)
 
         lm_state = expand_state(model_state, capacity)
         mimi_state = init_decoder_state(self.mimi_specs, 1, self._dtype)
@@ -692,16 +707,19 @@ class TTSModel:
         yield_frames: list[np.ndarray] = []
         while frames_started < max_gen_len and not stop:
             K = 1 if frames_started < FIRST_BLOCK_FRAMES else SCAN_BLOCK_FRAMES
-            att = self._att_bucket(start_slots + frames_started + K, capacity)
+            if self.cache_growth:
+                lm_state = self._ensure_capacity(
+                    lm_state, start_slots + frames_started + K
+                )
             if K == 1:
                 noise = jnp.asarray(noise_source((B, ldim)))
-                latent, eos, audio, lm_state, mimi_state = self._fused_step_fn(att)(
+                latent, eos, audio, lm_state, mimi_state = self._fused_step_fn()(
                     self.params, self.mimi_params, lm_state, mimi_state,
                     prev_latent, is_bos, noise,
                 )
             else:
                 noise = jnp.asarray(noise_source((K, B, ldim)))
-                latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(K, att)(
+                latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(K)(
                     self.params, self.mimi_params, lm_state, mimi_state,
                     prev_latent, is_bos, noise,
                 )
@@ -811,15 +829,16 @@ class TTSModel:
         # to SCAN_BLOCK_FRAMES-1 slots past max_gen_len
         if isinstance(model_states, list):
             slots_used = max(int(np.asarray(s.write_pos)) for s in model_states)
-            required = slots_used + pad_to + max_gen_len + SCAN_BLOCK_FRAMES - 1
-            capacity = _bucket(required, CAPACITY_BUCKETS)
+        else:
+            slots_used = int(np.asarray(model_states.write_pos))
+        required = slots_used + pad_to + max_gen_len + SCAN_BLOCK_FRAMES - 1
+        capacity = _bucket(required, CAPACITY_BUCKETS)
+        if self.cache_growth:  # start small; _ensure_capacity grows per block
+            capacity = _bucket(slots_used + pad_to, CAPACITY_BUCKETS)
+        if isinstance(model_states, list):
             lm_state = batch_states(model_states, capacity)
         else:
-            lm_state = model_states
-            slots_used = int(np.asarray(lm_state.write_pos))
-            required = slots_used + pad_to + max_gen_len + SCAN_BLOCK_FRAMES - 1
-            capacity = _bucket(required, CAPACITY_BUCKETS)
-            lm_state = expand_state(lm_state, capacity)
+            lm_state = expand_state(model_states, capacity)
             assert lm_state.offset.shape[0] == B
 
         # right-pad token rows to one bucket; per-row true lengths
@@ -851,11 +870,12 @@ class TTSModel:
         done = False
         while step < max_gen_len and not done:
             K = 1 if step < FIRST_BLOCK_FRAMES else SCAN_BLOCK_FRAMES
-            att = self._att_bucket(start_slots + step + K, capacity)
+            if self.cache_growth:
+                lm_state = self._ensure_capacity(lm_state, start_slots + step + K)
             is_bos = jnp.full((B,), step == 0, bool)
             if K == 1:
                 noise = jnp.asarray(noise_fn((B, ldim)))
-                latent, eos, audio, lm_state, mimi_state = self._fused_step_fn(att)(
+                latent, eos, audio, lm_state, mimi_state = self._fused_step_fn()(
                     self.params, self.mimi_params, lm_state, mimi_state,
                     prev_latent, is_bos, noise,
                 )
@@ -863,7 +883,7 @@ class TTSModel:
                 eos_flags.append(eos)
             else:
                 noise = jnp.asarray(noise_fn((K, B, ldim)))
-                latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(K, att)(
+                latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(K)(
                     self.params, self.mimi_params, lm_state, mimi_state,
                     prev_latent, is_bos, noise,
                 )
