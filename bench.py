@@ -4,17 +4,24 @@ Prints ONE JSON line:
   {"metric": "audio_seconds_per_second_per_chip", "value": N, "unit": "audio-s/s",
    "vs_baseline": N, ...extras}
 
-Methodology: timings use chained-dispatch slope (time(N2 blocks) - time(N1
-blocks)) / (N2 - N1) with a final device fetch forcing completion — immune to
-async-dispatch illusions and fixed per-session overheads. Each dispatch is an
-8-frame lax.scan of the fused step (FlowLM decode + EOS + LSD flow + full Mimi
-codec decode), exactly what the production driver runs in steady state.
+Methodology: whole-generation wall time over the PRODUCTION block schedule —
+progressive KV-capacity growth (256 -> 384 -> 512 slot buckets as the cache
+fills), FIRST_BLOCK single-frame dispatches, then 8-frame lax.scan blocks of
+the fused step (FlowLM decode + EOS + LSD flow + full Mimi codec decode),
+starting from a realistic post-prompt watermark (192 slots of voice + text)
+and generating 320 frames (25.6 s of audio). Each configuration reports the
+median of 3 full runs with a device fetch as the completion barrier; a 320-
+frame run amortizes dispatch/fetch latency and medians reject tunnel hiccups.
+(Round 2 measured a fixed 768-slot cache read every step — a schedule real
+generations never execute; this drives exactly what the drivers do.)
 
 Primary value = bf16 weights, batch 1 (single-utterance streaming, BASELINE
-config #1). Extras: f32 (the waveform-parity dtype), int8 weight-only
-(quantized serving), batch-32 (config #2), and first-chunk latency (text prompt
-+ first frame). vs_baseline is against the reference's published 6.33x
-real-time (M4 CPU, docs/quantization.md:53-57).
+config #1). Extras: f32 (the waveform-parity dtype), int8 weight-only at b1
+and b32, batch-32 bf16 (config #2), italian_24l b1 (config #4 model), a
+long-text sustained RTF through the real sentence-split driver (config #4
+mechanism), and first-chunk latency (text prompt + first frame). vs_baseline
+is against the reference's published 6.33x real-time (M4 CPU,
+docs/quantization.md:53-57).
 
 Weights are random — throughput and latency are weight-value independent.
 """
@@ -33,17 +40,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_RTS = 6.33  # reference real-time factor (M4, f32)
 FRAME_SECONDS = 0.08
-BLOCK = 8  # frames per dispatch (matches pipeline SCAN_BLOCK_FRAMES)
+START_SLOTS = 192  # post-prompt watermark: ~13 s voice state + text bucket
+GEN_FRAMES = 320  # 25.6 s of audio per run
 
 
-def build_model(dtype, quantize: bool):
+def build_model(dtype, quantize: bool, config_name: str = "english.yaml"):
     from pocket_tts_tpu.config import CONFIGS_DIR, load_config
     from pocket_tts_tpu.models.flow_lm import build_flow_lm_specs, init_flow_lm_params
     from pocket_tts_tpu.models.mimi import build_mimi_specs, init_mimi_params
     from pocket_tts_tpu.pipeline.tts import GenerationParams, TTSModel
     from pocket_tts_tpu.quant import quantize_flow_lm_int8
 
-    cfg = load_config(CONFIGS_DIR / "english.yaml")
+    cfg = load_config(CONFIGS_DIR / config_name)
     specs = build_flow_lm_specs(cfg)
     mimi_specs = build_mimi_specs(cfg.mimi)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
@@ -62,57 +70,134 @@ def build_model(dtype, quantize: bool):
     return model, dtype
 
 
-def measure_throughput(model, dtype, batch: int, capacity: int = 768,
-                       n1: int = 3, n2: int = 28):
+def post_prompt_state(model, batch: int, start_slots: int, dtype):
+    """A state as the drivers see it after voice + text prompts: start_slots
+    valid slots at positions 0..start_slots-1, capacity = their bucket."""
     from pocket_tts_tpu.models.flow_lm import init_flow_lm_state
-    from pocket_tts_tpu.models.mimi import init_decoder_state
+    from pocket_tts_tpu.pipeline.tts import CAPACITY_BUCKETS, _bucket
 
-    step = model._multi_step_fn(BLOCK)
+    cap0 = _bucket(start_slots, CAPACITY_BUCKETS)
+    lm = init_flow_lm_state(model.specs, batch, cap0, dtype)
+    pos = jnp.where(
+        jnp.arange(cap0)[None, :] < start_slots,
+        jnp.arange(cap0, dtype=jnp.int32)[None, :],
+        -1,
+    )
+    lm.pos = jnp.broadcast_to(pos, (batch, cap0))
+    lm.offset = jnp.full((batch,), start_slots, jnp.int32)
+    lm.write_pos = jnp.asarray(start_slots, jnp.int32)
+    return lm
+
+
+def measure_throughput(model, dtype, batch: int, start_slots: int = START_SLOTS,
+                       gen_frames: int = GEN_FRAMES, trials: int = 3):
+    """Median wall time of the production block schedule (see module docstring)."""
+    from pocket_tts_tpu.models.mimi import init_decoder_state
+    from pocket_tts_tpu.pipeline.tts import _block_size
+
     ldim = model.specs.ldim
 
-    def fresh():
-        return (
-            init_flow_lm_state(model.specs, batch, capacity, dtype),
-            init_decoder_state(model.mimi_specs, batch, dtype),
-            jnp.zeros((batch, ldim), jnp.float32),
-            jnp.zeros((batch,), bool),
-            jnp.zeros((BLOCK, batch, ldim), jnp.float32),
-        )
-
-    def chain(n_blocks):
-        lm_state, mimi_state, prev, is_bos, noise = fresh()
+    def run_once():
+        lm = post_prompt_state(model, batch, start_slots, dtype)
+        mimi = init_decoder_state(model.mimi_specs, batch, dtype)
+        prev = jnp.zeros((batch, ldim), jnp.float32)
+        is_bos = jnp.ones((batch,), bool)
+        frames = 0
         t0 = time.monotonic()
-        for _ in range(n_blocks):
-            latents, eos, audio, lm_state, mimi_state = step(
-                model.params, model.mimi_params, lm_state, mimi_state,
-                prev, is_bos, noise,
-            )
-            prev = latents[-1]
-        np.asarray(eos)  # force completion of the chain
+        while frames < gen_frames:
+            K = _block_size(frames)
+            lm = model._ensure_capacity(lm, start_slots + frames + K)
+            if K == 1:
+                noise = jnp.zeros((batch, ldim), jnp.float32)
+                _, eos, _, lm, mimi = model._fused_step_fn()(
+                    model.params, model.mimi_params, lm, mimi, prev, is_bos, noise)
+            else:
+                noise = jnp.zeros((K, batch, ldim), jnp.float32)
+                _, eos, _, lm, mimi = model._multi_step_fn(K)(
+                    model.params, model.mimi_params, lm, mimi, prev, is_bos, noise)
+            is_bos = jnp.zeros((batch,), bool)
+            frames += K
+        np.asarray(eos)  # completion barrier (block_until_ready lies on axon)
         return time.monotonic() - t0
 
-    chain(1)  # compile + claim
-    chain(1)  # warm
-    t1 = chain(n1)
-    t2 = chain(n2)
-    frame_ms = (t2 - t1) / ((n2 - n1) * BLOCK) * 1000
+    run_once()  # compile every capacity bucket
+    ts = sorted(run_once() for _ in range(trials))
+    wall = ts[len(ts) // 2]
+    frame_ms = wall / gen_frames * 1000
     return {
         "frame_ms": frame_ms,
-        "audio_s_per_s": FRAME_SECONDS / (frame_ms / 1000) * batch,
+        "audio_s_per_s": batch * gen_frames * FRAME_SECONDS / wall,
     }
 
 
-def measure_first_chunk_latency(model, dtype, capacity: int = 768,
-                                n_tokens: int = 16):
-    """Text prompt (bucketed) + first fused frame + host fetch, post-warmup."""
+class _StubTokenizer:
+    """Word/punctuation tokenizer with an encode/decode round trip, so the
+    real sentence splitter exercises its boundary-run logic without a
+    sentencepiece model (timing is token-value independent)."""
+
+    def __init__(self):
+        import re
+
+        self._split = re.compile(r"[^\s.!?,;:…]+|[.!?,;:…]").findall
+        self._vocab: dict[str, int] = {}
+        self._pieces: dict[int, str] = {}
+
+    def _id(self, piece: str) -> int:
+        if piece not in self._vocab:
+            i = len(self._vocab) + 3
+            self._vocab[piece] = i
+            self._pieces[i] = piece
+        return self._vocab[piece]
+
+    def encode(self, text: str) -> list[int]:
+        return [1] + [self._id(p) for p in self._split(text)]  # 1 = dummy prefix
+
+    def decode(self, ids: list[int]) -> str:
+        return " ".join(self._pieces.get(i, "") for i in ids if i != 1)
+
+
+def measure_long_text(model, dtype, sentences: int = 40):
+    """BASELINE config #4 mechanism: sentence-split streaming of a long text
+    through the real driver (state carry, capacity re-bucketing, splitter).
+    Returns sustained RTF and the maximum inter-chunk gap (ms)."""
+    model.tokenizer = _StubTokenizer()
+    text = " ".join(
+        "The quick brown fox jumps over the lazy dog near the riverbank today."
+        for _ in range(sentences)
+    )
+
+    def run():
+        st = post_prompt_state(model, 1, 128, dtype)
+        gaps, samples = [], 0
+        t0 = last = time.monotonic()
+        for chunk in model.generate_audio_stream(st, text, copy_state=False,
+                                                 seed=0):
+            now = time.monotonic()
+            gaps.append(now - last)
+            last = now
+            samples += chunk.shape[-1]
+        wall = time.monotonic() - t0
+        return samples / model.sample_rate / wall, max(gaps) * 1000
+
+    run()  # compile
+    rtf, max_gap_ms = run()
+    model.tokenizer = None
+    return {"rtf": rtf, "max_gap_ms": max_gap_ms}
+
+
+def measure_first_chunk_latency(model, dtype, n_tokens: int = 16):
+    """Text prompt (bucketed) + first fused frame + host fetch, post-warmup.
+    Prompt capacity matches the drivers' progressive-growth start bucket."""
     from pocket_tts_tpu.models.flow_lm import init_flow_lm_state
     from pocket_tts_tpu.models.mimi import init_decoder_state
+    from pocket_tts_tpu.pipeline.tts import CAPACITY_BUCKETS, PROMPT_BUCKETS, _bucket
 
     prompt = model._text_prompt_fn()
     step = model._fused_step_fn()
     ldim = model.specs.ldim
-    tokens = jnp.zeros((1, n_tokens), jnp.int32)
+    tokens = jnp.zeros((1, _bucket(n_tokens, PROMPT_BUCKETS)), jnp.int32)
     true_len = jnp.full((1,), n_tokens, jnp.int32)
+    capacity = _bucket(tokens.shape[1], CAPACITY_BUCKETS)
 
     def once():
         lm_state = init_flow_lm_state(model.specs, 1, capacity, dtype)
@@ -151,7 +236,7 @@ def _arm_watchdog():
     import os
     import threading
 
-    budget = float(os.environ.get("BENCH_WATCHDOG_SECS", "2700"))
+    budget = float(os.environ.get("BENCH_WATCHDOG_SECS", "3300"))
 
     def fire():
         print(json.dumps({
@@ -178,18 +263,31 @@ def main():
                     "bf16_b32")
     first_chunk = _try(lambda: measure_first_chunk_latency(model_bf16, jnp.bfloat16),
                        "first_chunk")
+    long_text = _try(lambda: measure_long_text(model_bf16, jnp.bfloat16),
+                     "long_text")
 
-    def int8_run():
+    def int8_run(batch):
         model_int8, _ = build_model(jnp.bfloat16, quantize=True)
-        return measure_throughput(model_int8, jnp.bfloat16, batch=1)
+        b1 = measure_throughput(model_int8, jnp.bfloat16, batch=1)
+        b32 = (measure_throughput(model_int8, jnp.bfloat16, batch=32)
+               if batch == 32 else None)
+        return b1, b32
 
-    int8_b1 = _try(int8_run, "int8_b1")
+    int8 = _try(lambda: int8_run(32), "int8")
+    int8_b1, int8_b32 = int8 if int8 else (None, None)
 
     def f32_run():
         model_f32, _ = build_model(jnp.float32, quantize=False)
         return measure_throughput(model_f32, jnp.float32, batch=1)
 
     f32_b1 = _try(f32_run, "f32_b1")
+
+    def run_24l():
+        m24, _ = build_model(jnp.bfloat16, quantize=False,
+                             config_name="italian_24l.yaml")
+        return measure_throughput(m24, jnp.bfloat16, batch=1)
+
+    b24l = _try(run_24l, "24l_b1")
 
     value = bf16_b1["audio_s_per_s"] if bf16_b1 else 0.0
     out = {
@@ -200,7 +298,11 @@ def main():
         "bf16_b1_frame_ms": round(bf16_b1["frame_ms"], 3) if bf16_b1 else None,
         "f32_b1_audio_s_per_s": round(f32_b1["audio_s_per_s"], 2) if f32_b1 else None,
         "int8_b1_audio_s_per_s": round(int8_b1["audio_s_per_s"], 2) if int8_b1 else None,
+        "int8_b32_audio_s_per_s": round(int8_b32["audio_s_per_s"], 2) if int8_b32 else None,
         "batch32_audio_s_per_s": round(bf16_b32["audio_s_per_s"], 2) if bf16_b32 else None,
+        "24l_b1_audio_s_per_s": round(b24l["audio_s_per_s"], 2) if b24l else None,
+        "long_text_rtf": round(long_text["rtf"], 2) if long_text else None,
+        "long_text_max_gap_ms": round(long_text["max_gap_ms"], 1) if long_text else None,
         "first_chunk_ms": round(first_chunk, 1) if first_chunk else None,
         "device": str(jax.devices()[0]),
     }

@@ -4,14 +4,17 @@ frame-rate resamplers, as pure jit-able functions.
 Re-designs /root/reference/pocket_tts/models/mimi.py for TPU:
 * `encode_to_latent` — one-shot (voice cloning): wav [B,1,T] -> latents
   [B, inner_dim, T/1920] (mimi.py:96-119).
-* `decoder_step`  — streaming: one 12.5 Hz latent frame -> 16 codec steps ->
-  1920 samples of 24 kHz audio (mimi.py:89-94), with every piece of streaming
-  state (conv left-contexts, conv-transpose overlap tails, transformer ring KV
-  caches) carried in one explicit pytree.
+* `decoder_step`  — streaming: K 12.5 Hz latent frames -> 16K codec steps ->
+  1920K samples of 24 kHz audio (mimi.py:89-94), with every piece of streaming
+  state (conv left-contexts, conv-transpose overlap tails, transformer
+  sliding-window KV caches) carried in one explicit pytree. Any block length
+  K per call: the generation drivers decode whole scan blocks through one
+  call (16K-timestep convs and one windowed attention instead of K sequential
+  single-frame chains — the batched-serving hot path).
 
-The decoder transformer uses a ring KV cache sized to its 250-step sliding
-window instead of the reference's full-sequence linear cache, making the
-per-frame state O(context) and the whole step compilable once.
+The decoder transformer uses a sliding-window (shift) KV cache sized to its
+250-step context instead of the reference's full-sequence linear cache, making
+the per-frame state O(context) and the whole step compilable once.
 """
 
 from __future__ import annotations
@@ -54,9 +57,6 @@ from pocket_tts_tpu.ops.codec_decode import (
     pack_decoder_params,
     seanet_decoder_fused,
 )
-
-RING_SLACK = 32  # ring capacity beyond the attention window
-
 
 @dataclass(frozen=True)
 class MimiSpecs:
@@ -202,15 +202,13 @@ def init_mimi_params(specs: MimiSpecs, key, dtype=jnp.float32) -> dict:
 
 
 def init_decoder_state(specs: MimiSpecs, batch_size: int, dtype=jnp.float32) -> dict:
-    # capacity: covers the attention window + one write block, rounded up to a
-    # multiple of the per-frame write length so ring writes never straddle the
-    # wrap point (single dynamic_update_slice, see nn/transformer.append_kv)
-    stride = specs.downsample_stride
-    cap = (specs.transformer.context or 256) + stride + RING_SLACK
-    cap = ((cap + stride - 1) // stride) * stride
+    # sliding-window cache: holds the last W slots (shift_kv update). A query
+    # at position p attends keys >= p - (context-1), so W >= context - 1
+    # history slots suffice for any block length; round to a lane multiple.
+    W = ((specs.transformer.context or 256) + 15) // 16 * 16
     return {
         "upsample": init_conv_tr_state(specs.upsample_spec, batch_size, dtype),
-        "transformer": init_stack_state(specs.transformer, batch_size, cap, dtype),
+        "transformer": init_stack_state(specs.transformer, batch_size, W, dtype),
         "decoder": init_seanet_state(specs.decoder, batch_size, dtype),
     }
 
@@ -261,14 +259,17 @@ def decoder_step(
         params["decoder_transformer"],
         h,
         state["transformer"],
-        ring=True,
+        window=True,
         unroll=True,
     )
     if "decoder_transformer_out_proj" in params:
         out = matmul_t(out, params["decoder_transformer_out_proj"])
     x = out.transpose(0, 2, 1)
+    # the fused kernel is shaped (and wins) for the single-frame low-latency
+    # step; multi-frame blocks run the XLA op program, whose convs get
+    # efficient at T = 16*K (measured faster than K fused calls at b32)
     packed = params.get("decoder_packed")
-    if packed is not None:
+    if packed is not None and x.shape[-1] == specs.downsample_stride:
         audio, dec_state = seanet_decoder_fused(
             specs.decoder, packed, x, state["decoder"]
         )

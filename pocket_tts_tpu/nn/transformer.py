@@ -164,19 +164,16 @@ def append_kv(
     vs: jnp.ndarray,
     *,
     true_len: jnp.ndarray | int | None = None,
-    ring: bool = False,
 ) -> StackState:
     """Append a block of new K/V ([L, B, T, H, Dh]) at the shared write pointer.
 
     One dynamic_update_slice on the full stacked cache — in place when the
     state buffers are donated or live in a loop carry. `true_len` ([B] or int):
     rows' real token counts in the (right-padded) block; padding slots get
-    pos = -1. Ring caches wrap the slot (capacity must be a multiple of T so a
-    block never straddles the wrap point — init_decoder_state guarantees it).
+    pos = -1.
     """
     T = ks.shape[2]
-    C = state.k.shape[2]
-    slot = jnp.mod(state.write_pos, C) if ring else state.write_pos
+    slot = state.write_pos
     k = jax.lax.dynamic_update_slice(state.k, ks.astype(state.k.dtype),
                                      (0, 0, slot, 0, 0))
     v = jax.lax.dynamic_update_slice(state.v, vs.astype(state.v.dtype),
@@ -193,6 +190,30 @@ def append_kv(
     pos = jax.lax.dynamic_update_slice(state.pos, new_pos, (0, slot))
     return StackState(
         k=k, v=v, pos=pos, offset=state.offset + inc, write_pos=state.write_pos + T
+    )
+
+
+def shift_kv(state: StackState, ks: jnp.ndarray, vs: jnp.ndarray) -> StackState:
+    """Sliding-window cache update: keep the most recent W slots by static
+    concat-and-crop (no write pointer, no wrap) — any block length T per call,
+    including T that varies call-to-call and T >= W. Positions slide with the
+    slots, so decode_masks/attend_cached work unchanged. This is the TPU shape
+    of the reference's ring buffer for windowed transformers: the roll is a
+    copy of the (small, O(window)) cache, which XLA fuses, instead of a
+    modular write whose blocks could straddle the wrap point."""
+    T = ks.shape[2]
+    W = state.k.shape[2]
+    t = jnp.arange(T, dtype=jnp.int32)
+    new_pos = state.offset[:, None] + t[None, :]
+    if T >= W:
+        k, v, pos = ks[:, :, T - W:], vs[:, :, T - W:], new_pos[:, T - W:]
+    else:
+        k = jnp.concatenate([state.k[:, :, T:], ks.astype(state.k.dtype)], axis=2)
+        v = jnp.concatenate([state.v[:, :, T:], vs.astype(state.v.dtype)], axis=2)
+        pos = jnp.concatenate([state.pos[:, T:], new_pos], axis=1)
+    return StackState(
+        k=k.astype(state.k.dtype), v=v.astype(state.v.dtype), pos=pos,
+        offset=state.offset + T, write_pos=state.write_pos + T,
     )
 
 
@@ -233,35 +254,38 @@ def transformer_apply(
     x: jnp.ndarray,
     state: StackState,
     *,
-    ring: bool = False,
+    window: bool = False,
     increment: jnp.ndarray | int | None = None,
     unroll: int | bool = False,
     att_len: int | None = None,
 ) -> tuple[jnp.ndarray, StackState]:
     """Run the full stack on x: [B, T, D], then append every layer's new K/V.
 
+    `window`: sliding-window cache (capacity = window size, shift_kv update)
+    for context-limited transformers (Mimi decoder); the default is the
+    append-ordered linear cache (FlowLM).
     `increment`: the true (unpadded) length of x per row when the input is
     right-padded; defaults to T. Offsets advance by it; write_pos advances by
-    the full padded T.
+    the full padded T. Unsupported (and unneeded) in window mode.
     `unroll`: lax.scan unroll factor over layers — True for decode steps (lets
     XLA overlap the many small per-layer ops), False for prompt/one-shot passes
     (smaller compile).
     """
 
-    att = None if ring else att_len  # ring slots wrap: no contiguous valid prefix
+    att = None if window else att_len  # window slots slide: prefix not static
     T = x.shape[1]
     dh = cfg.d_model // cfg.num_heads
     # layer-invariant per-step work, hoisted out of the scan: rotation tables
     # and attention masks (at tiny decode shapes, op count dominates cost)
     tabs = rope_tables(state.offset, T, dh, cfg.max_period, batch=x.shape[0])
 
-    # T=1 decode over a non-ring, unwindowed cache routes to the Pallas
+    # T=1 decode over a non-windowed cache can route to the Pallas
     # flash-decode kernel (pos-map masking happens inside it; no masks needed)
     flash = (
-        not ring
+        not window
         and T == 1
         and cfg.context is None
-        and use_flash_decode()
+        and use_flash_decode(x.shape[0])
         and flash_decode_supported(att or state.k.shape[2], dh)
     )
     if flash:
@@ -284,4 +308,7 @@ def transformer_apply(
     h, (ks, vs) = jax.lax.scan(
         body, x, (params, state.k, state.v), unroll=unroll
     )
-    return h, append_kv(state, ks, vs, true_len=increment, ring=ring)
+    if window:
+        assert increment is None, "window caches take full (unpadded) blocks"
+        return h, shift_kv(state, ks, vs)
+    return h, append_kv(state, ks, vs, true_len=increment)

@@ -41,21 +41,28 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 @functools.cache
-def use_flash_decode() -> bool:
+def _flash_mode() -> str:
+    return os.environ.get("POCKET_TTS_TPU_FLASH", "auto")
+
+
+def use_flash_decode(batch: int = 1) -> bool:
     """POCKET_TTS_TPU_FLASH: "1" forces the Pallas kernel for FlowLM decode
     attention, "0" forces XLA, unset = auto (measured default).
 
-    Measured on v5e (full-pipeline A/B, english 6L, bf16, fused multi-step):
-    see STATUS.md round-3 table — the auto default routes by those numbers.
+    Measured on v5e (production schedule, english 6L, bf16, tools/measure_r3):
+    flash 80.1 vs XLA 65.3 audio-s/s at b1, but flash 518.4 vs XLA 703.6 at
+    b32 — the kernel's (B, kv-tile) grid serializes rows on the single
+    TensorCore while XLA's fused SDPA streams the whole batch, so auto routes
+    batch 1 to the kernel and larger batches to XLA. See STATUS.md round-3.
     """
-    flag = os.environ.get("POCKET_TTS_TPU_FLASH")
-    if flag == "1":
+    mode = _flash_mode()
+    if mode == "1":
         return True
-    if flag == "0":
+    if mode == "0":
         return False
     import jax as _jax
 
-    return _jax.default_backend() not in ("cpu", "gpu")
+    return batch == 1 and _jax.default_backend() not in ("cpu", "gpu")
 
 
 def _pick_tile(C: int) -> int | None:

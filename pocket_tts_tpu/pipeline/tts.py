@@ -102,7 +102,23 @@ CAPACITY_BUCKETS = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
 PROMPT_BUCKETS = (8, 16, 32, 64, 128, 192, 256, 384, 512)
 SPECULATIVE_DEPTH = 2  # frames the device runs ahead of the host EOS check
 FIRST_BLOCK_FRAMES = 2  # single-frame dispatches up front (first-chunk latency)
-SCAN_BLOCK_FRAMES = 8  # frames per scan dispatch in steady state
+SCAN_BLOCK_FRAMES = 8  # frames per scan dispatch while the stream ramps up
+MAX_BLOCK_FRAMES = 32  # steady-state frames per dispatch (2.56 s of audio)
+RAMP_FRAMES = FIRST_BLOCK_FRAMES + 4 * SCAN_BLOCK_FRAMES  # 8-frame blocks until here
+
+
+def _block_size(frames_started: int) -> int:
+    """Dispatch-size ramp: single frames for first-chunk latency, 8-frame
+    blocks while the stream builds its buffer, then 32-frame blocks — the
+    dominant cost at batch is per-dispatch overhead + per-block fixed work,
+    and a listener 2.7 s into playback has 2.56 s of audio buffered, so block
+    latency no longer matters. EOS can overshoot by up to a block of wasted
+    compute; emission stays exact (the host trims at the stop step)."""
+    if frames_started < FIRST_BLOCK_FRAMES:
+        return 1
+    if frames_started < RAMP_FRAMES:
+        return SCAN_BLOCK_FRAMES
+    return MAX_BLOCK_FRAMES
 
 
 def _use_fused_codec(mimi_params: dict) -> bool:
@@ -383,13 +399,18 @@ class TTSModel:
         return self._jit(key, lambda: jax.jit(run, donate_argnums=(2, 3)))
 
     def _multi_step_fn(self, block: int, att_len: int | None = None):
-        """K frames per dispatch via lax.scan — amortizes host->device dispatch.
+        """K frames per dispatch: the (sequential) FlowLM decode runs as a
+        lax.scan, then the WHOLE block's latents go through the Mimi codec in
+        one call — one windowed attention over 16K timesteps and 16K-long
+        convs instead of K sequential single-frame chains. Amortizes both the
+        host->device dispatch and the codec's op overhead (the per-frame Mimi
+        chain dominated the b32 frame time at ~0.9 ms).
 
         Returns (latents [K,B,ldim], eos [K,B], audio [K,B,1,1920], states)."""
 
         def run(params, mimi_params, lm_state, mimi_state, prev_latent, is_bos0, noise):
             def body(carry, xs):
-                lm_state, mimi_state, prev, is_bos = carry
+                lm_state, prev, is_bos = carry
                 step_noise = xs
                 latent, eos, lm_state = decode_step(
                     self.specs, params, lm_state, prev, is_bos, step_noise,
@@ -397,21 +418,22 @@ class TTSModel:
                     eos_threshold=self.gen.eos_threshold,
                     att_len=att_len,
                 )
-                denorm = latent * params["emb_std"] + params["emb_mean"]
-                quantized = project_latent(self.mimi_specs, mimi_params,
-                                           denorm[:, :, None])
-                audio, mimi_state = decoder_step(
-                    self.mimi_specs, mimi_params, quantized, mimi_state
-                )
-                new_carry = (lm_state, mimi_state, latent,
-                             jnp.zeros_like(is_bos))
-                return new_carry, (latent, eos, audio)
+                return (lm_state, latent, jnp.zeros_like(is_bos)), (latent, eos)
 
-            carry = (lm_state, mimi_state, prev_latent, is_bos0)
-            (lm_state, mimi_state, last_latent, _), ys = jax.lax.scan(
+            carry = (lm_state, prev_latent, is_bos0)
+            (lm_state, last_latent, _), (latents, eos) = jax.lax.scan(
                 body, carry, noise
             )
-            latents, eos, audio = ys
+            denorm = latents * params["emb_std"] + params["emb_mean"]  # [K,B,ldim]
+            quantized = project_latent(
+                self.mimi_specs, mimi_params, denorm.transpose(1, 2, 0)
+            )  # [B, 512, K]
+            audio, mimi_state = decoder_step(
+                self.mimi_specs, mimi_params, quantized, mimi_state
+            )  # [B, 1, K*1920]
+            B = audio.shape[0]
+            spf = audio.shape[-1] // block
+            audio = audio.reshape(B, 1, block, spf).transpose(2, 0, 1, 3)
             return latents, eos, audio, lm_state, mimi_state
 
         key = ("multi_step", block, att_len, self.gen.lsd_decode_steps,
@@ -646,14 +668,14 @@ class TTSModel:
         orig_offset = model_state.offset
         # capacity is measured in SLOTS (write_pos): prompts append their full
         # padded bucket, so account for pad_to rather than token_count. The
-        # loop dispatches SCAN_BLOCK_FRAMES-sized blocks while
-        # frames_started < max_gen_len, so appends can overshoot max_gen_len by
-        # up to SCAN_BLOCK_FRAMES-1 slots — capacity must cover that, or the
-        # clamped dynamic_update_slice silently overwrites the last real slot's
-        # K/V/pos when `required` lands within a block of a bucket boundary.
+        # loop dispatches whole blocks while frames_started < max_gen_len, so
+        # appends can overshoot max_gen_len by up to MAX_BLOCK_FRAMES-1 slots —
+        # capacity must cover that, or the clamped dynamic_update_slice
+        # silently overwrites the last real slot's K/V/pos when `required`
+        # lands within a block of a bucket boundary.
         slots_used = int(np.asarray(model_state.write_pos))
         pad_to = _bucket(token_count, PROMPT_BUCKETS)
-        required = slots_used + pad_to + max_gen_len + SCAN_BLOCK_FRAMES - 1
+        required = slots_used + pad_to + max_gen_len + MAX_BLOCK_FRAMES - 1
         capacity = _bucket(required, CAPACITY_BUCKETS)
         if self.cache_growth:  # start small; _ensure_capacity grows per block
             capacity = _bucket(slots_used + pad_to, CAPACITY_BUCKETS)
@@ -706,7 +728,7 @@ class TTSModel:
         start_slots = slots_used + pad_to  # slot watermark after the text prompt
         yield_frames: list[np.ndarray] = []
         while frames_started < max_gen_len and not stop:
-            K = 1 if frames_started < FIRST_BLOCK_FRAMES else SCAN_BLOCK_FRAMES
+            K = _block_size(frames_started)
             if self.cache_growth:
                 lm_state = self._ensure_capacity(
                     lm_state, start_slots + frames_started + K
@@ -826,12 +848,12 @@ class TTSModel:
         pad_to = _bucket(max(token_counts), PROMPT_BUCKETS)
 
         # same overshoot guard as the streaming path: scan blocks may append up
-        # to SCAN_BLOCK_FRAMES-1 slots past max_gen_len
+        # to MAX_BLOCK_FRAMES-1 slots past max_gen_len
         if isinstance(model_states, list):
             slots_used = max(int(np.asarray(s.write_pos)) for s in model_states)
         else:
             slots_used = int(np.asarray(model_states.write_pos))
-        required = slots_used + pad_to + max_gen_len + SCAN_BLOCK_FRAMES - 1
+        required = slots_used + pad_to + max_gen_len + MAX_BLOCK_FRAMES - 1
         capacity = _bucket(required, CAPACITY_BUCKETS)
         if self.cache_growth:  # start small; _ensure_capacity grows per block
             capacity = _bucket(slots_used + pad_to, CAPACITY_BUCKETS)
@@ -869,7 +891,7 @@ class TTSModel:
         step = 0
         done = False
         while step < max_gen_len and not done:
-            K = 1 if step < FIRST_BLOCK_FRAMES else SCAN_BLOCK_FRAMES
+            K = _block_size(step)
             if self.cache_growth:
                 lm_state = self._ensure_capacity(lm_state, start_slots + step + K)
             is_bos = jnp.full((B,), step == 0, bool)

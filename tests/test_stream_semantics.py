@@ -45,6 +45,34 @@ def test_long_text_multi_chunk_stream():
     assert np.isfinite(total).all()
 
 
+def test_block_schedule_invariance(monkeypatch):
+    """The emitted waveform must not depend on the dispatch-block schedule:
+    ramped 1/8/32-frame blocks (batched Mimi decode over whole blocks) vs
+    all-single-frame dispatches. Exercises block-boundary audio continuity of
+    the multi-frame codec path at the driver level — the windowed shift cache,
+    conv streaming states, and overlap-add tails must all agree with the
+    per-frame chain. (NoiseSource fills C-order, so a [K,B,ldim] draw equals K
+    consecutive [B,ldim] draws and the streams align across schedules.)"""
+    import pocket_tts_tpu.pipeline.tts as tts_mod
+    from pocket_tts_tpu.pipeline.tts import NoiseSource
+
+    model = build_small_tts_model()
+    model.gen.eos_threshold = 1e9  # never EOS: cover the full 70-frame ramp
+    voice = _voice(model)
+    tokens = [3, 9, 4, 7]
+
+    ramped = np.concatenate(list(model.generate_audio_stream_from_tokens(
+        voice, tokens, 3, NoiseSource(model.gen, 2), max_gen_len=70)))
+
+    monkeypatch.setattr(tts_mod, "_block_size", lambda frames: 1)
+    model._jit_cache.clear()
+    single = np.concatenate(list(model.generate_audio_stream_from_tokens(
+        voice, tokens, 3, NoiseSource(model.gen, 2), max_gen_len=70)))
+
+    assert ramped.shape == single.shape
+    np.testing.assert_allclose(ramped, single, rtol=1e-4, atol=1e-4)
+
+
 def test_voice_state_reusable_after_generation():
     model = build_small_tts_model()
     voice = _voice(model)

@@ -29,7 +29,7 @@ def _name_modules(model):
             module._module_absolute_name = name
 
 
-def _run_both(cfg: TransformerConfig, ring: bool, seq_len: int, prompt_len: int, steps: int):
+def _run_both(cfg: TransformerConfig, window: bool, seq_len: int, prompt_len: int, steps: int):
     torch.manual_seed(0)
     ref = StreamingTransformer(
         d_model=cfg.d_model,
@@ -44,7 +44,8 @@ def _run_both(cfg: TransformerConfig, ring: bool, seq_len: int, prompt_len: int,
     params = stack_transformer_params(ref, layer_scale=cfg.layer_scale is not None)
 
     B = 2
-    capacity = seq_len if not ring else max(64, (cfg.context or seq_len) + prompt_len + 8)
+    # window mode: capacity IS the sliding window; >= context-1 history suffices
+    capacity = seq_len if not window else max(cfg.context or seq_len, prompt_len)
     state = init_stack_state(cfg, B, capacity)
     ref_state = init_states(ref, batch_size=B, sequence_length=seq_len)
 
@@ -54,7 +55,7 @@ def _run_both(cfg: TransformerConfig, ring: bool, seq_len: int, prompt_len: int,
         x = rng.standard_normal((B, prompt_len, cfg.d_model)).astype(np.float32)
         ty = ref(torch.from_numpy(x), ref_state)
         increment_steps(ref, ref_state, prompt_len)
-        jy, state = transformer_apply(cfg, params, jnp.asarray(x), state, ring=ring)
+        jy, state = transformer_apply(cfg, params, jnp.asarray(x), state, window=window)
         np.testing.assert_allclose(np.asarray(jy), ty.numpy(), rtol=2e-5, atol=2e-5)
 
         # autoregressive steps
@@ -62,7 +63,7 @@ def _run_both(cfg: TransformerConfig, ring: bool, seq_len: int, prompt_len: int,
             x = rng.standard_normal((B, 1, cfg.d_model)).astype(np.float32)
             ty = ref(torch.from_numpy(x), ref_state)
             increment_steps(ref, ref_state, 1)
-            jy, state = transformer_apply(cfg, params, jnp.asarray(x), state, ring=ring)
+            jy, state = transformer_apply(cfg, params, jnp.asarray(x), state, window=window)
             np.testing.assert_allclose(np.asarray(jy), ty.numpy(), rtol=2e-5, atol=2e-5)
 
 
@@ -70,10 +71,10 @@ def test_full_causal_stack_matches_reference():
     cfg = TransformerConfig(
         d_model=64, num_heads=4, num_layers=3, dim_feedforward=128, context=None
     )
-    _run_both(cfg, ring=False, seq_len=32, prompt_len=9, steps=6)
+    _run_both(cfg, window=False, seq_len=32, prompt_len=9, steps=6)
 
 
-def test_sliding_window_ring_cache_matches_reference():
+def test_sliding_window_cache_matches_reference():
     cfg = TransformerConfig(
         d_model=32,
         num_heads=2,
@@ -82,8 +83,35 @@ def test_sliding_window_ring_cache_matches_reference():
         context=10,
         layer_scale=0.01,
     )
-    # enough steps that the ring wraps several times
-    _run_both(cfg, ring=True, seq_len=64, prompt_len=4, steps=40)
+    # enough steps that the window slides far past its capacity
+    _run_both(cfg, window=True, seq_len=64, prompt_len=4, steps=40)
+
+
+def test_sliding_window_mixed_block_sizes_match_reference():
+    """Window cache with varying block lengths (1, 8, then T >= W) must track
+    the reference exactly — the batched drivers feed whole scan blocks."""
+    cfg = TransformerConfig(
+        d_model=32, num_heads=2, num_layers=2, dim_feedforward=64, context=10,
+    )
+    torch.manual_seed(1)
+    ref = StreamingTransformer(
+        d_model=32, num_heads=2, num_layers=2, dim_feedforward=64, context=10
+    )
+    _name_modules(ref)
+    params = stack_transformer_params(ref)
+    B, W = 2, 12
+    state = init_stack_state(cfg, B, W)
+    ref_state = init_states(ref, batch_size=B, sequence_length=128)
+    rng = np.random.default_rng(5)
+    with torch.no_grad():
+        for T in (1, 1, 8, 8, 16, 3, 16):  # 16 > W exercises the T >= W crop
+            x = rng.standard_normal((B, T, cfg.d_model)).astype(np.float32)
+            ty = ref(torch.from_numpy(x), ref_state)
+            increment_steps(ref, ref_state, T)
+            jy, state = transformer_apply(cfg, params, jnp.asarray(x), state,
+                                          window=True)
+            np.testing.assert_allclose(np.asarray(jy), ty.numpy(),
+                                       rtol=2e-5, atol=2e-5)
 
 
 def test_padded_prompt_matches_unpadded():

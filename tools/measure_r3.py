@@ -77,7 +77,7 @@ def measure_schedule(model, dtype, batch, start_slots=192, gen_frames=320,
                      trials=3, label=""):
     """Production block schedule (growth + scan blocks), median wall time."""
     from pocket_tts_tpu.models.mimi import init_decoder_state
-    from pocket_tts_tpu.pipeline.tts import FIRST_BLOCK_FRAMES, SCAN_BLOCK_FRAMES
+    from pocket_tts_tpu.pipeline.tts import _block_size
 
     ldim = model.specs.ldim
 
@@ -89,7 +89,7 @@ def measure_schedule(model, dtype, batch, start_slots=192, gen_frames=320,
         frames = 0
         t0 = time.monotonic()
         while frames < gen_frames:
-            K = 1 if frames < FIRST_BLOCK_FRAMES else SCAN_BLOCK_FRAMES
+            K = _block_size(frames)
             lm = model._ensure_capacity(lm, start_slots + frames + K)
             if K == 1:
                 noise = jnp.zeros((batch, ldim), jnp.float32)
@@ -121,10 +121,10 @@ def measure_schedule(model, dtype, batch, start_slots=192, gen_frames=320,
 def set_flash(on: bool):
     import os
 
-    from pocket_tts_tpu.ops.flash_decode import use_flash_decode
+    from pocket_tts_tpu.ops.flash_decode import _flash_mode
 
     os.environ["POCKET_TTS_TPU_FLASH"] = "1" if on else "0"
-    use_flash_decode.cache_clear()
+    _flash_mode.cache_clear()
 
 
 def main():
