@@ -28,6 +28,11 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--language", default=None, help="language config name (e.g. english)")
     p.add_argument("--config", default=None, help="path to a custom YAML config")
     p.add_argument("--quantize", action="store_true", help="int8-quantize the FlowLM")
+    p.add_argument("--quantize-config", default=None,
+                   choices=["baseline", "attention", "ffn", "attention_ffn",
+                            "flow_net", "all"],
+                   help="layer groups to quantize (implies --quantize; "
+                        "default attention_ffn, 'all' adds the flow head)")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                    help="weight dtype (bfloat16 recommended for serving)")
     p.add_argument("--allow-random-init", action="store_true",
@@ -52,6 +57,7 @@ def _load_model(args):
         noise_clamp=args.noise_clamp,
         eos_threshold=args.eos_threshold,
         quantize=args.quantize,
+        quantize_config=args.quantize_config,
         allow_random_init=args.allow_random_init,
         param_dtype=args.dtype,
     )

@@ -107,10 +107,19 @@ INDEX_HTML = """<!doctype html>
 <style>
  body{font-family:system-ui;margin:2rem auto;max-width:40rem;padding:0 1rem}
  textarea{width:100%;height:6rem} button{padding:.5rem 1.5rem;margin-top:.5rem}
- #status{color:#555;margin-top:.5rem}
+ input[type=text]{width:100%;padding:.4rem;box-sizing:border-box}
+ #status{color:#555;margin-top:.5rem} .hint{color:#777;font-size:.8rem}
+ label{display:block;margin-top:1rem;font-weight:600}
 </style></head><body>
 <h2>pocket-tts-tpu</h2>
-<textarea id="text">__DEFAULT_TEXT__</textarea><br>
+<textarea id="text">__DEFAULT_TEXT__</textarea>
+<label for="voice-url">Optional voice URL (leave empty to use the default voice)</label>
+<input type="text" id="voice-url"
+       placeholder="hf://kyutai/tts-voices/alba-mackenna/casual.wav">
+<p class="hint">Supports http://, https://, or hf:// URLs, or a predefined
+voice name: __VOICE_CATALOG__.</p>
+<label for="voice-wav">Or upload an audio file for voice cloning</label>
+<input type="file" id="voice-wav" accept="audio/*">
 <button id="go">Speak</button>
 <div id="status"></div>
 <script>
@@ -122,6 +131,11 @@ document.getElementById('go').onclick = async () => {
   status.textContent = 'generating…';
   const form = new FormData();
   form.append('text', document.getElementById('text').value);
+  const voiceUrl = document.getElementById('voice-url').value.trim();
+  const voiceWav = document.getElementById('voice-wav').files[0];
+  if (voiceUrl && voiceWav) { status.textContent = 'choose a voice URL OR a file, not both'; return; }
+  if (voiceUrl) form.append('voice_url', voiceUrl);
+  else if (voiceWav) form.append('voice_wav', voiceWav);
   const t0 = performance.now();
   const resp = await fetch('/tts', {method: 'POST', body: form});
   const reader = resp.body.getReader();
@@ -261,7 +275,11 @@ def make_handler(model, default_voice: str, metrics: ServingMetrics | None = Non
                 self._send(200, json.dumps(metrics.snapshot()).encode(),
                            "application/json")
             elif self.path == "/":
-                html = INDEX_HTML.replace("__DEFAULT_TEXT__", DEFAULT_TEXT)
+                from pocket_tts_tpu.core.hub import PREDEFINED_VOICE_ORIGINS
+
+                catalog = ", ".join(sorted(PREDEFINED_VOICE_ORIGINS))
+                html = INDEX_HTML.replace("__DEFAULT_TEXT__", DEFAULT_TEXT).replace(
+                    "__VOICE_CATALOG__", catalog)
                 self._send(200, html.encode(), "text/html; charset=utf-8")
             else:
                 self._send(404, b"not found")

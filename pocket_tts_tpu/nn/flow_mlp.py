@@ -112,7 +112,11 @@ def init_flow_mlp_params(cfg: FlowMLPConfig, key, dtype=jnp.float32) -> Params:
 
 
 def _apply_linear(p, x):
-    return x @ p["w"].T + p["b"]
+    # matmul_t handles both plain [O, I] weights and int8-quantized
+    # {"q","s"} dicts (quant.py "flow_net"/"all" scopes)
+    from pocket_tts_tpu.nn.linear import matmul_t
+
+    return matmul_t(x, p["w"]) + p["b"]
 
 
 def flow_mlp_apply(

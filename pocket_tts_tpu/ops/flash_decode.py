@@ -53,7 +53,8 @@ def use_flash_decode(batch: int = 1) -> bool:
     flash 80.1 vs XLA 65.3 audio-s/s at b1, but flash 518.4 vs XLA 703.6 at
     b32 — the kernel's (B, kv-tile) grid serializes rows on the single
     TensorCore while XLA's fused SDPA streams the whole batch, so auto routes
-    batch 1 to the kernel and larger batches to XLA. See STATUS.md round-3.
+    batch 1 to the kernel and larger batches to XLA. See STATUS.md,
+    "Flash-decode routing".
     """
     mode = _flash_mode()
     if mode == "1":

@@ -253,7 +253,8 @@ class TTSModel:
         language=(str, None), config=(str, Path, None),
         temp=(float, int), lsd_decode_steps=int,
         noise_clamp=(float, int, None), eos_threshold=(float, int),
-        quantize=bool, allow_random_init=bool, param_dtype=str,
+        quantize=bool, quantize_config=(str, frozenset, set, None),
+        allow_random_init=bool, param_dtype=str,
     )
     def load_model(
         cls,
@@ -264,11 +265,16 @@ class TTSModel:
         noise_clamp: float | None = DEFAULT_NOISE_CLAMP,
         eos_threshold: float = DEFAULT_EOS_THRESHOLD,
         quantize: bool = False,
+        quantize_config: str | frozenset | set | None = None,
         allow_random_init: bool = False,
         param_dtype: str = "float32",
     ) -> "TTSModel":
         """Load a pre-trained TTS model (see reference tts_model.py:232-315).
 
+        `quantize_config`: which layer groups to int8-quantize — a named config
+        ("attention_ffn" default, "all" = attention+ffn+flow_net, ...) or an
+        explicit set of groups, mirroring the reference's quantize_groups
+        (quantization.py:60-75). Setting it implies `quantize=True`.
         `allow_random_init=True` builds the model with random weights when no
         checkpoint is reachable (offline development / benchmarking).
         `param_dtype`: "float32" (reference-parity) or "bfloat16" (serving; the
@@ -350,10 +356,16 @@ class TTSModel:
         model = cls(specs, mimi_specs, params, mimi_params, tokenizer, cfg, gen,
                     origin=config_path)
         model.has_voice_cloning = has_voice_cloning
-        if quantize:
-            from pocket_tts_tpu.quant import quantize_flow_lm_int8
+        if quantize or quantize_config is not None:
+            from pocket_tts_tpu.quant import (
+                RECOMMENDED_CONFIG,
+                quantize_flow_lm_int8,
+                resolve_config,
+            )
 
-            model.params = quantize_flow_lm_int8(model.params)
+            groups = (RECOMMENDED_CONFIG if quantize_config is None
+                      else resolve_config(quantize_config))
+            model.params = quantize_flow_lm_int8(model.params, groups)
         return model
 
     # ------------------------------------------------------------- jit plumbing
@@ -527,14 +539,18 @@ class TTSModel:
     def cached_get_state_for_audio_prompt(
         self, audio_conditioning: str, truncate: bool = False
     ) -> StackState:
+        """True LRU(2), like the reference server's functools.lru_cache(2)
+        (tts_model.py:781-785): a hit moves the entry to most-recently-used, so
+        alternating between two voices never evicts the hot one."""
         key = f"{audio_conditioning}|{truncate}"
-        if key not in self._voice_state_cache:
-            if len(self._voice_state_cache) >= 2:  # LRU(2) like the reference server
-                self._voice_state_cache.pop(next(iter(self._voice_state_cache)))
-            self._voice_state_cache[key] = self.get_state_for_audio_prompt(
-                audio_conditioning, truncate
-            )
-        return self._voice_state_cache[key]
+        cache = self._voice_state_cache
+        if key in cache:
+            cache[key] = cache.pop(key)  # move-to-end: mark most recently used
+        else:
+            if len(cache) >= 2:
+                cache.pop(next(iter(cache)))  # evict least recently used
+            cache[key] = self.get_state_for_audio_prompt(audio_conditioning, truncate)
+        return cache[key]
 
     # ----------------------------------------------------------------- sharding
 

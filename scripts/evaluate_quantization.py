@@ -110,6 +110,7 @@ CONFIGS = [
     ("int8_attention", frozenset({"attention"})),
     ("int8_ffn", frozenset({"ffn"})),
     ("int8_attention_ffn", frozenset({"attention", "ffn"})),
+    ("int8_all", frozenset({"attention", "ffn", "flow_net"})),
 ]
 
 # diverse sentences exercising phoneme coverage, used for WER stress when real
@@ -167,6 +168,8 @@ def main() -> int:
         sentences = [WER_SENTENCES[i % len(WER_SENTENCES)] for i in range(args.voices)]
         token_sets = [model._encode_text(s) for s in sentences]
 
+    from pocket_tts_tpu.quant import device_memory_mb, model_memory_mb
+
     rows = []
     baselines: dict[int, np.ndarray] = {}
     wer_baseline: dict[int, float | None] = {}
@@ -174,6 +177,11 @@ def main() -> int:
         model.params = (
             quantize_flow_lm_int8(f32_params, qconfig) if qconfig else f32_params
         )
+        # runtime-memory column (reference docs/quantization.md:43-49:
+        # 450 -> 234 -> 206 MB): weight bytes per config, plus live HBM when
+        # the backend reports allocator stats (TPU)
+        weights_mb = model_memory_mb(model.params, model.mimi_params)
+        hbm_mb = device_memory_mb()
         for v, (state, tokens) in enumerate(zip(voices, token_sets)):
             noise = NoiseSource(model.gen, seed=1000 + v)
             t0 = time.monotonic()
@@ -205,6 +213,8 @@ def main() -> int:
                 "pesq": None if pesq_score is None else round(pesq_score, 3),
                 "wer_baseline": wer_b, "wer_quantized": wer_q,
                 "audio_s": round(len(audio) / model.sample_rate, 2),
+                "weights_mb": round(weights_mb, 1),
+                "hbm_mb": None if hbm_mb is None else round(hbm_mb, 1),
             })
             print(rows[-1])
 
@@ -223,6 +233,7 @@ def main() -> int:
             "mean_snr_db": round(statistics.mean(snrs), 2) if snrs else None,
             "mean_pesq": round(statistics.mean(pesqs), 3) if pesqs else None,
             "mean_wer_delta": round(statistics.mean(deltas), 4) if deltas else None,
+            "weights_mb": sub[0]["weights_mb"] if sub else None,
         })
         print(summaries[-1])
 
@@ -244,11 +255,12 @@ def main() -> int:
                     f"| {fmt(r['pesq'])} | {fmt(r['wer_baseline'])} "
                     f"| {fmt(r['wer_quantized'])} | {r['audio_s']} |\n")
         f.write("\n## Summary\n\n")
-        f.write("| config | mean RTS | mean SNR (dB) | mean PESQ | mean WER delta |"
-                "\n|---|---|---|---|---|\n")
+        f.write("| config | mean RTS | mean SNR (dB) | mean PESQ | mean WER delta "
+                "| weights (MB) |\n|---|---|---|---|---|---|\n")
         for s in summaries:
             f.write(f"| {s['config']} | {s['mean_rts']} | {fmt(s['mean_snr_db'])} "
-                    f"| {fmt(s['mean_pesq'])} | {fmt(s['mean_wer_delta'])} |\n")
+                    f"| {fmt(s['mean_pesq'])} | {fmt(s['mean_wer_delta'])} "
+                    f"| {fmt(s['weights_mb'])} |\n")
     print(f"wrote {out.with_suffix('.csv')}, {out}_summary.csv and "
           f"{out.with_suffix('.md')}")
     return 0

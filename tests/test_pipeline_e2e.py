@@ -239,6 +239,80 @@ def test_end_to_end_waveform_matches_reference(models, monkeypatch):
     assert float(np.abs(other[:n] - ref_audio[:n]).mean()) > 3e-3
 
 
+class ClampedNoise:
+    """Shared truncated-normal stream generated by OUR scipy-truncnorm branch
+    (pipeline/tts.py NoiseSource with noise_clamp), with the same skip
+    semantics as RecordedNoise."""
+
+    def __init__(self, seed=55, clamp=1.0, skip=0):
+        from pocket_tts_tpu.pipeline.tts import GenerationParams, NoiseSource
+
+        self.src = NoiseSource(GenerationParams(noise_clamp=clamp), seed)
+        for _ in range(skip):
+            self((1, LDIM))
+
+    def __call__(self, shape):
+        return self.src(shape)
+
+
+def patch_reference_trunc_noise(monkeypatch, stream, clamp):
+    """Route the reference's trunc_normal_ draw (flow_lm.py:136-137) to the
+    shared clamped stream, asserting it is called with the clamp bounds the
+    reference derives from noise_clamp."""
+
+    def fake_trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        assert a == -clamp and b == clamp, (a, b, clamp)
+        tensor.copy_(torch.from_numpy(stream(tuple(tensor.shape))))
+        return tensor
+
+    monkeypatch.setattr(torch.nn.init, "trunc_normal_", fake_trunc_normal_)
+
+
+def test_noise_clamp_waveform_matches_reference(models, monkeypatch):
+    """noise_clamp=1.0: the reference takes its trunc_normal_ branch
+    (flow_lm.py:132-137) and we take the scipy-truncnorm branch; with the
+    clamped stream shared between them the waveforms must agree — proving the
+    clamp path feeds the pipeline identically to the normal path."""
+    cfg, ref_tts, model = models
+    rng = np.random.default_rng(4)
+    voice_wav = (rng.standard_normal((1, 1, 5000)) * 0.1).astype(np.float32)
+    text = "ta tb tc td te tf"
+    clamp, fae = 1.0, 2
+
+    with torch.no_grad():
+        ref_state = ref_tts.get_state_for_audio_prompt(
+            torch.from_numpy(voice_wav[0]))
+    monkeypatch.setattr(ref_tts, "noise_clamp", clamp)
+    patch_reference_trunc_noise(monkeypatch, ClampedNoise(), clamp)
+    ref_audio = reference_stream(ref_tts, ref_state, text, fae, copy_state=True)
+
+    voice_state = model.state_for_audio_array(voice_wav)
+    chunks = list(model.generate_audio_stream_from_tokens(
+        voice_state, word_tokens(text), fae, ClampedNoise(skip=1)))
+    ours = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    assert ours.shape == ref_audio.shape, (ours.shape, ref_audio.shape)
+    np.testing.assert_allclose(ours, ref_audio, rtol=1e-2, atol=4e-3)
+    assert float(np.abs(ours - ref_audio).mean()) < 2e-3
+
+
+def test_noise_clamp_distribution_matches_torch():
+    """Our scipy-truncnorm sampler must draw from the same distribution as the
+    reference's torch.nn.init.trunc_normal_ (N(0, std) truncated to
+    [-clamp, clamp]): bounds respected exactly, moments matching closely."""
+    from pocket_tts_tpu.pipeline.tts import GenerationParams, NoiseSource
+
+    clamp, temp, n = 1.0, 0.7, 200_000
+    ours = NoiseSource(GenerationParams(temp=temp, noise_clamp=clamp), seed=3)((n,))
+    ref = torch.empty(n)
+    torch.manual_seed(3)
+    torch.nn.init.trunc_normal_(ref, mean=0.0, std=temp**0.5, a=-clamp, b=clamp)
+    ref = ref.numpy()
+    assert np.abs(ours).max() <= clamp and np.abs(ref).max() <= clamp
+    assert abs(float(ours.mean()) - float(ref.mean())) < 0.01
+    assert abs(float(ours.std()) - float(ref.std())) < 0.01
+
+
 def test_copy_state_false_continuation_matches_reference(models, monkeypatch):
     """copy_state=False (write_back) reproduces the reference's in-place state
     accumulation: a second chunk generated from the mutated state yields the

@@ -67,6 +67,70 @@ def test_tts_streams_valid_wav(server, tmp_path):
     assert samples.size > model.sample_rate // 10  # >0.1 s incl. trailing silence
 
 
+def test_index_has_voice_field_and_catalog(server):
+    """The embedded web UI exposes voice selection like the reference page
+    (reference static/index.html:35-60): a voice-URL input with the predefined
+    catalog documented in-page, and a file upload for voice cloning."""
+    url, _, _ = server
+    with urllib.request.urlopen(url + "/") as r:
+        body = r.read().decode()
+    assert 'id="voice-url"' in body
+    assert 'id="voice-wav"' in body
+    assert "voice_url" in body  # the JS actually posts the field
+    from pocket_tts_tpu.core.hub import PREDEFINED_VOICE_ORIGINS
+
+    for name in ("alba", "javert"):
+        assert name in PREDEFINED_VOICE_ORIGINS and name in body
+
+
+def test_tts_voice_url_roundtrip_via_form(server):
+    """A voice_url posted through the UI's multipart form reaches the voice
+    cache and yields a valid WAV (the UI form path end-to-end)."""
+    url, model, _ = server
+    # a second cached voice under the name the form will reference
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal((1, 1, 4000)) * 0.1).astype(np.float32)
+    model._voice_state_cache["javert|True"] = model.state_for_audio_array(wav)
+    boundary = "XBOUNDARYX"
+    parts = []
+    for name, value in (("text", "Voice url form check"), ("voice_url", "javert")):
+        parts.append(
+            f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="{name}"\r\n\r\n{value}\r\n'
+        )
+    body = ("".join(parts) + f"--{boundary}--\r\n").encode()
+    req = urllib.request.Request(
+        url + "/tts", data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        wav_bytes = r.read()
+    assert wav_bytes[:4] == b"RIFF"
+    # the hit moved "javert" to most-recently-used (true LRU)
+    assert list(model._voice_state_cache)[-1] == "javert|True"
+
+
+def test_voice_cache_is_true_lru():
+    """A,B,A,C access pattern: the C miss must evict B (least recently used),
+    not A — the reference's functools.lru_cache(2) behavior."""
+    model = build_small_tts_model()
+    built: list[str] = []
+
+    def fake_build(key, truncate=False):
+        built.append(key)
+        return object()
+
+    model.get_state_for_audio_prompt = fake_build
+    for key in ("A", "B", "A", "C"):
+        model.cached_get_state_for_audio_prompt(key)
+    assert built == ["A", "B", "C"]
+    assert set(model._voice_state_cache) == {"A|False", "C|False"}
+    # A stays hot: accessing it again must not rebuild
+    model.cached_get_state_for_audio_prompt("A")
+    assert built == ["A", "B", "C"]
+
+
 def test_tts_missing_text(server):
     url, _, _ = server
     req = urllib.request.Request(
