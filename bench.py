@@ -16,12 +16,13 @@ frame run amortizes dispatch/fetch latency and medians reject tunnel hiccups.
 generations never execute; this drives exactly what the drivers do.)
 
 Primary value = bf16 weights, batch 1 (single-utterance streaming, BASELINE
-config #1). Extras: f32 (the waveform-parity dtype), int8 weight-only at b1
-and b32, batch-32 bf16 (config #2), italian_24l b1 (config #4 model), a
-long-text sustained RTF through the real sentence-split driver (config #4
-mechanism), and first-chunk latency (text prompt + first frame). vs_baseline
-is against the reference's published 6.33x real-time (M4 CPU,
-docs/quantization.md:53-57).
+config #1). Extras: f32 (the waveform-parity dtype), int8 weight-only at
+b1/b32/b64/b128 and bf16 b32/b128 (configs #2/#5 large-batch serving),
+italian_24l b1 bf16 + int8 (config #4 model), long-text sustained RTF with EOS
+disabled plus the per-sentence-chunk fixed overhead (config #4 mechanism,
+measured separately — see measure_long_text_split), and first-chunk latency
+(text prompt + first frame). vs_baseline is against the reference's published
+6.33x real-time (M4 CPU, docs/quantization.md:53-57).
 
 Weights are random — throughput and latency are weight-value independent.
 """
@@ -156,33 +157,60 @@ class _StubTokenizer:
         return " ".join(self._pieces.get(i, "") for i in ids if i != 1)
 
 
-def measure_long_text(model, dtype, sentences: int = 40):
-    """BASELINE config #4 mechanism: sentence-split streaming of a long text
-    through the real driver (state carry, capacity re-bucketing, splitter).
-    Returns sustained RTF and the maximum inter-chunk gap (ms)."""
-    model.tokenizer = _StubTokenizer()
+def _long_text_run(model, dtype, sentences: int):
+    """One long-text pass through the real driver (sentence splitter, state
+    carry, capacity re-bucketing). Returns (wall_s, audio_s, max_gap_ms,
+    n_chunks)."""
     text = " ".join(
         "The quick brown fox jumps over the lazy dog near the riverbank today."
         for _ in range(sentences)
     )
+    st = post_prompt_state(model, 1, 128, dtype)
+    gaps, samples, chunks = [], 0, 0
+    t0 = last = time.monotonic()
+    for chunk in model.generate_audio_stream(st, text, copy_state=False, seed=0):
+        now = time.monotonic()
+        gaps.append(now - last)
+        last = now
+        samples += chunk.shape[-1]
+        chunks += 1
+    wall = time.monotonic() - t0
+    return wall, samples / model.sample_rate, max(gaps) * 1000, chunks
 
-    def run():
-        st = post_prompt_state(model, 1, 128, dtype)
-        gaps, samples = [], 0
-        t0 = last = time.monotonic()
-        for chunk in model.generate_audio_stream(st, text, copy_state=False,
-                                                 seed=0):
-            now = time.monotonic()
-            gaps.append(now - last)
-            last = now
-            samples += chunk.shape[-1]
-        wall = time.monotonic() - t0
-        return samples / model.sample_rate / wall, max(gaps) * 1000
 
-    run()  # compile
-    rtf, max_gap_ms = run()
+def measure_long_text_split(model, dtype):
+    """BASELINE config #4 mechanism, split into two honest metrics (round-3
+    verdict: with random weights EOS latches at step 0, so a single 'RTF'
+    number measured only per-chunk overhead):
+
+    * long_text_rtf — sustained real-time factor with EOS DISABLED
+      (eos_threshold=+inf), so every chunk runs the production generation
+      schedule like real weights would;
+    * per_chunk_overhead_ms — default threshold (EOS at step ~0 under random
+      weights): each chunk does ~0 useful decode, so wall/chunk IS the fixed
+      per-sentence-chunk cost (prompt dispatch, state handoff, fetches).
+    """
+    import dataclasses
+
+    model.tokenizer = _StubTokenizer()
+    orig_gen = model.gen
+
+    # sustained: EOS disabled, every chunk runs to its max_gen_len
+    model.gen = dataclasses.replace(orig_gen, eos_threshold=float("inf"))
+    _long_text_run(model, dtype, sentences=2)  # compile
+    wall, audio_s, max_gap_ms, _ = _long_text_run(model, dtype, sentences=8)
+    rtf = audio_s / wall
+
+    # overhead: default threshold, chunks collapse to the fixed cost
+    model.gen = orig_gen
+    _long_text_run(model, dtype, sentences=2)  # compile
+    o_wall, _, _, o_chunks = _long_text_run(model, dtype, sentences=24)
     model.tokenizer = None
-    return {"rtf": rtf, "max_gap_ms": max_gap_ms}
+    return {
+        "rtf": rtf,
+        "max_gap_ms": max_gap_ms,
+        "per_chunk_overhead_ms": o_wall * 1000 / o_chunks,
+    }
 
 
 def measure_first_chunk_latency(model, dtype, n_tokens: int = 16):
@@ -229,23 +257,28 @@ def _try(fn, label):
         return None
 
 
+_PARTIAL: dict = {}  # sections completed so far, for the watchdog line
+
+
 def _arm_watchdog():
     """The tunneled TPU can wedge its device claim for tens of minutes (see
-    memory notes); if nothing completes in time, emit an honest failure line
-    instead of hanging the harness."""
+    memory notes); if the budget runs out, emit whatever sections completed
+    (value = the headline if it landed) instead of hanging the harness."""
     import os
     import threading
 
     budget = float(os.environ.get("BENCH_WATCHDOG_SECS", "3300"))
 
     def fire():
-        print(json.dumps({
+        out = {
             "metric": "audio_seconds_per_second_per_chip",
-            "value": 0.0,
+            "value": _PARTIAL.get("value", 0.0),
             "unit": "audio-s/s",
-            "vs_baseline": 0.0,
-            "error": "device unavailable within watchdog budget",
-        }), flush=True)
+            "vs_baseline": round(_PARTIAL.get("value", 0.0) / REFERENCE_RTS, 2),
+            "error": "watchdog budget exhausted; partial results",
+            **{k: v for k, v in _PARTIAL.items() if k != "value"},
+        }
+        print(json.dumps(out), flush=True)
         os._exit(3)
 
     t = threading.Timer(budget, fire)
@@ -259,22 +292,37 @@ def main():
     model_bf16, _ = build_model(jnp.bfloat16, quantize=False)
     bf16_b1 = _try(lambda: measure_throughput(model_bf16, jnp.bfloat16, batch=1),
                    "bf16_b1")
+    if bf16_b1:
+        _PARTIAL["value"] = round(bf16_b1["audio_s_per_s"], 2)
     bf16_b32 = _try(lambda: measure_throughput(model_bf16, jnp.bfloat16, batch=32),
                     "bf16_b32")
+    if bf16_b32:
+        _PARTIAL["batch32_audio_s_per_s"] = round(bf16_b32["audio_s_per_s"], 2)
     first_chunk = _try(lambda: measure_first_chunk_latency(model_bf16, jnp.bfloat16),
                        "first_chunk")
-    long_text = _try(lambda: measure_long_text(model_bf16, jnp.bfloat16),
+    if first_chunk:
+        _PARTIAL["first_chunk_ms"] = round(first_chunk, 1)
+    long_text = _try(lambda: measure_long_text_split(model_bf16, jnp.bfloat16),
                      "long_text")
+    if long_text:
+        _PARTIAL["long_text_rtf"] = round(long_text["rtf"], 2)
+        _PARTIAL["per_chunk_overhead_ms"] = round(
+            long_text["per_chunk_overhead_ms"], 1)
 
-    def int8_run(batch):
+    def int8_run():
         model_int8, _ = build_model(jnp.bfloat16, quantize=True)
-        b1 = measure_throughput(model_int8, jnp.bfloat16, batch=1)
-        b32 = (measure_throughput(model_int8, jnp.bfloat16, batch=32)
-               if batch == 32 else None)
-        return b1, b32
+        out = {}
+        for b in (1, 32, 64, 128):  # large-batch sweep (BASELINE config #5)
+            out[b] = measure_throughput(model_int8, jnp.bfloat16, batch=b)
+            _PARTIAL[f"int8_b{b}_audio_s_per_s"] = round(
+                out[b]["audio_s_per_s"], 2)
+        return out
 
-    int8 = _try(lambda: int8_run(32), "int8")
-    int8_b1, int8_b32 = int8 if int8 else (None, None)
+    int8 = _try(int8_run, "int8") or {}
+    bf16_b128 = _try(lambda: measure_throughput(model_bf16, jnp.bfloat16, batch=128),
+                     "bf16_b128")
+    if bf16_b128:
+        _PARTIAL["batch128_audio_s_per_s"] = round(bf16_b128["audio_s_per_s"], 2)
 
     def f32_run():
         model_f32, _ = build_model(jnp.float32, quantize=False)
@@ -282,12 +330,16 @@ def main():
 
     f32_b1 = _try(f32_run, "f32_b1")
 
-    def run_24l():
-        m24, _ = build_model(jnp.bfloat16, quantize=False,
+    def run_24l(quantize):
+        m24, _ = build_model(jnp.bfloat16, quantize=quantize,
                              config_name="italian_24l.yaml")
         return measure_throughput(m24, jnp.bfloat16, batch=1)
 
-    b24l = _try(run_24l, "24l_b1")
+    b24l = _try(lambda: run_24l(False), "24l_b1")
+    b24l_int8 = _try(lambda: run_24l(True), "24l_int8_b1")
+
+    def a(d, key="audio_s_per_s", nd=2):
+        return round(d[key], nd) if d else None
 
     value = bf16_b1["audio_s_per_s"] if bf16_b1 else 0.0
     out = {
@@ -296,13 +348,19 @@ def main():
         "unit": "audio-s/s",
         "vs_baseline": round(value / REFERENCE_RTS, 2),
         "bf16_b1_frame_ms": round(bf16_b1["frame_ms"], 3) if bf16_b1 else None,
-        "f32_b1_audio_s_per_s": round(f32_b1["audio_s_per_s"], 2) if f32_b1 else None,
-        "int8_b1_audio_s_per_s": round(int8_b1["audio_s_per_s"], 2) if int8_b1 else None,
-        "int8_b32_audio_s_per_s": round(int8_b32["audio_s_per_s"], 2) if int8_b32 else None,
-        "batch32_audio_s_per_s": round(bf16_b32["audio_s_per_s"], 2) if bf16_b32 else None,
-        "24l_b1_audio_s_per_s": round(b24l["audio_s_per_s"], 2) if b24l else None,
+        "f32_b1_audio_s_per_s": a(f32_b1),
+        "int8_b1_audio_s_per_s": a(int8.get(1)),
+        "int8_b32_audio_s_per_s": a(int8.get(32)),
+        "int8_b64_audio_s_per_s": a(int8.get(64)),
+        "int8_b128_audio_s_per_s": a(int8.get(128)),
+        "batch32_audio_s_per_s": a(bf16_b32),
+        "batch128_audio_s_per_s": a(bf16_b128),
+        "24l_b1_audio_s_per_s": a(b24l),
+        "24l_int8_b1_audio_s_per_s": a(b24l_int8),
         "long_text_rtf": round(long_text["rtf"], 2) if long_text else None,
         "long_text_max_gap_ms": round(long_text["max_gap_ms"], 1) if long_text else None,
+        "per_chunk_overhead_ms": (round(long_text["per_chunk_overhead_ms"], 1)
+                                  if long_text else None),
         "first_chunk_ms": round(first_chunk, 1) if first_chunk else None,
         "device": str(jax.devices()[0]),
     }

@@ -47,23 +47,23 @@ def _flash_mode() -> str:
 
 def use_flash_decode(batch: int = 1) -> bool:
     """POCKET_TTS_TPU_FLASH: "1" forces the Pallas kernel for FlowLM decode
-    attention, "0" forces XLA, unset = auto (measured default).
+    attention, "0" forces XLA, unset = auto (measured default: XLA).
 
-    Measured on v5e (production schedule, english 6L, bf16, tools/measure_r3):
-    flash 80.1 vs XLA 65.3 audio-s/s at b1, but flash 518.4 vs XLA 703.6 at
-    b32 — the kernel's (B, kv-tile) grid serializes rows on the single
-    TensorCore while XLA's fused SDPA streams the whole batch, so auto routes
-    batch 1 to the kernel and larger batches to XLA. See STATUS.md,
-    "Flash-decode routing".
+    Measured on v5e over the honest production schedule (progressive KV
+    growth + ramped scan blocks, tools/measure_r4 b1ab, round 4): XLA 151.0 vs
+    flash 104.8 audio-s/s at b1 bf16 (int8: 167.9 vs 135.1), and XLA ~704 vs
+    flash ~518 at b32 (round 3). Round 3 had measured the kernel AHEAD at b1
+    (80 vs 65) — that was over fixed-capacity caches; with progressive growth
+    the XLA SDPA reads only the current bucket and fuses into the surrounding
+    step, while the kernel pays a separate launch per layer. Auto therefore
+    routes everything to XLA; the kernel stays available (=1) as insurance for
+    fixed-capacity/long-cache deployments, where its att_len grid-stop avoids
+    XLA's slice-copies. See STATUS.md, "Flash-decode routing".
     """
     mode = _flash_mode()
     if mode == "1":
         return True
-    if mode == "0":
-        return False
-    import jax as _jax
-
-    return batch == 1 and _jax.default_backend() not in ("cpu", "gpu")
+    return False
 
 
 def _pick_tile(C: int) -> int | None:

@@ -107,13 +107,19 @@ MAX_BLOCK_FRAMES = 32  # steady-state frames per dispatch (2.56 s of audio)
 RAMP_FRAMES = FIRST_BLOCK_FRAMES + 4 * SCAN_BLOCK_FRAMES  # 8-frame blocks until here
 
 
-def _block_size(frames_started: int) -> int:
+def _block_size(frames_started: int, warm: bool = False) -> int:
     """Dispatch-size ramp: single frames for first-chunk latency, 8-frame
     blocks while the stream builds its buffer, then 32-frame blocks — the
     dominant cost at batch is per-dispatch overhead + per-block fixed work,
     and a listener 2.7 s into playback has 2.56 s of audio buffered, so block
     latency no longer matters. EOS can overshoot by up to a block of wasted
-    compute; emission stays exact (the host trims at the stop step)."""
+    compute; emission stays exact (the host trims at the stop step).
+
+    `warm`: the stream already has buffered audio (chunks after the first in a
+    long text), so skip the single-frame latency ramp and start at scan
+    blocks — single-frame dispatches only pay per-chunk overhead there."""
+    if warm:
+        frames_started += FIRST_BLOCK_FRAMES
     if frames_started < FIRST_BLOCK_FRAMES:
         return 1
     if frames_started < RAMP_FRAMES:
@@ -647,14 +653,14 @@ class TTSModel:
             self.pad_with_spaces_for_short_inputs, self.remove_semicolons,
         )
         noise = noise_source or NoiseSource(self.gen, seed)
-        for chunk in chunks:
+        for i, chunk in enumerate(chunks):
             _, guess = prepare_text_prompt(
                 chunk, self.pad_with_spaces_for_short_inputs, self.remove_semicolons
             )
             effective = frames_after_eos if frames_after_eos is not None else guess + 2
             yield from self.generate_audio_stream_from_tokens(
                 model_state, self._encode_text(chunk), effective, noise,
-                write_back=not copy_state,
+                write_back=not copy_state, warm_start=i > 0,
             )
 
     def generate_audio_stream_from_tokens(
@@ -665,6 +671,7 @@ class TTSModel:
         noise_source: Callable,
         max_gen_len: int | None = None,
         write_back: bool = False,
+        warm_start: bool = False,
     ) -> Iterator[np.ndarray]:
         """Single-chunk generation from token ids (B=1). Emission semantics match
         the reference AR loop exactly (tts_model.py:744-779).
@@ -676,6 +683,10 @@ class TTSModel:
         executed (every generated frame incl. the final break step,
         tts_model.py:744-764). Speculatively decoded frames beyond that point
         sit past the offset watermark and are never attended.
+
+        `warm_start=True` (chunks after the first in a long text): skip the
+        single-frame latency ramp — the listener already has buffered audio,
+        so per-chunk overhead matters more than first-frame latency.
         """
         t_start = time.monotonic()
         token_count = len(tokens)
@@ -689,7 +700,14 @@ class TTSModel:
         # capacity must cover that, or the clamped dynamic_update_slice
         # silently overwrites the last real slot's K/V/pos when `required`
         # lands within a block of a bucket boundary.
-        slots_used = int(np.asarray(model_state.write_pos))
+        # The slot watermark is host-mirrored on the state holder (_slots_used,
+        # maintained by write_back below): slots advance by host-known amounts
+        # only, and fetching the device scalar costs a tunnel round trip per
+        # chunk — the dominant per-chunk overhead term.
+        slots_used = getattr(model_state, "_slots_used", None)
+        if slots_used is None:
+            slots_used = int(np.asarray(model_state.write_pos))
+            model_state._slots_used = slots_used
         pad_to = _bucket(token_count, PROMPT_BUCKETS)
         required = slots_used + pad_to + max_gen_len + MAX_BLOCK_FRAMES - 1
         capacity = _bucket(required, CAPACITY_BUCKETS)
@@ -721,8 +739,11 @@ class TTSModel:
             """Apply reference emission semantics (tts_model.py:756-764) to a
             block; returns False when generation must stop."""
             nonlocal eos_step, emitted, stop, stop_step
-            flags = np.asarray(eos_arr)  # [K, B] or [B]
-            audio = None
+            # one fused fetch: separate eos/audio fetches each pay a full
+            # host<->device round trip (the tunnel's per-chunk overhead term)
+            flags, audio = jax.device_get((eos_arr, audio_arr))
+            flags = np.asarray(flags)  # [K, B] or [B]
+            audio = np.asarray(audio)
             K = flags.shape[0] if flags.ndim == 2 else 1
             for i in range(K):
                 s = block_start + i
@@ -735,8 +756,6 @@ class TTSModel:
                     stop = True
                     stop_step = s + 1  # the break step is still executed
                     return False
-                if audio is None:
-                    audio = np.asarray(audio_arr)
                 emitted += 1
                 yield_frames.append(audio[i, 0, 0] if audio.ndim == 4 else audio[0, 0])
             return True
@@ -744,7 +763,7 @@ class TTSModel:
         start_slots = slots_used + pad_to  # slot watermark after the text prompt
         yield_frames: list[np.ndarray] = []
         while frames_started < max_gen_len and not stop:
-            K = _block_size(frames_started)
+            K = _block_size(frames_started, warm=warm_start)
             if self.cache_growth:
                 lm_state = self._ensure_capacity(
                     lm_state, start_slots + frames_started + K
@@ -804,6 +823,8 @@ class TTSModel:
             )
             model_state.offset = final_offset
             model_state.write_pos = lm_state.write_pos
+            # host mirror (slots advanced by pad_to + every dispatched frame)
+            model_state._slots_used = slots_used + pad_to + frames_started
         dur_ms = emitted * self.samples_per_frame * 1000 / self.sample_rate
         wall_ms = (time.monotonic() - t_start) * 1000
         logger.info(

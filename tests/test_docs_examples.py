@@ -85,10 +85,15 @@ def test_readme_cli_lines_parse():
 
     parser = build_parser()
     lines = []
+    launch_lines = []
     for block in _code_blocks(REPO / "README.md", "bash"):
         for line in block.splitlines():
             line = line.strip()
-            if line.startswith("python -m pocket_tts_tpu"):
+            if line.startswith("python -m pocket_tts_tpu.parallel.launch"):
+                line = line.split("#")[0]
+                launch_lines.append(
+                    line.removeprefix("python -m pocket_tts_tpu.parallel.launch").strip())
+            elif line.startswith("python -m pocket_tts_tpu"):
                 line = line.split("#")[0]  # strip trailing doc comments
                 lines.append(line.removeprefix("python -m pocket_tts_tpu").strip())
     assert lines, "README lost its CLI examples"
@@ -97,6 +102,13 @@ def test_readme_cli_lines_parse():
     for line in lines:
         args = parser.parse_args(shlex.split(line))
         assert args.command in ("generate", "serve", "export-voice"), line
+
+    # the multi-host launcher examples parse against its own argparse tree
+    from pocket_tts_tpu.parallel.launch import build_parser as launch_parser
+
+    assert launch_lines, "README lost its multi-host launcher examples"
+    for line in launch_lines:
+        launch_parser().parse_args(shlex.split(line))
 
 
 def test_readme_pytest_line_matches_reality():

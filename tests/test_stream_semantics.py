@@ -64,7 +64,7 @@ def test_block_schedule_invariance(monkeypatch):
     ramped = np.concatenate(list(model.generate_audio_stream_from_tokens(
         voice, tokens, 3, NoiseSource(model.gen, 2), max_gen_len=70)))
 
-    monkeypatch.setattr(tts_mod, "_block_size", lambda frames: 1)
+    monkeypatch.setattr(tts_mod, "_block_size", lambda frames, warm=False: 1)
     model._jit_cache.clear()
     single = np.concatenate(list(model.generate_audio_stream_from_tokens(
         voice, tokens, 3, NoiseSource(model.gen, 2), max_gen_len=70)))

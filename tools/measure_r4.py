@@ -251,6 +251,42 @@ def main():
             m._jit_cache.clear()
             measure_schedule(m, jnp.bfloat16, 1, label=f"b1 {tag} growth xla")
 
+    if "lmbw" in sections:
+        # effective cache-stream bandwidth: two LM-only runs whose capacity
+        # stays inside ONE bucket each; the frame-time delta over the slot
+        # delta gives bytes/s of the per-step K/V read.
+        print("=== cache-read bandwidth probe (b64 bf16, lm-only) ===", flush=True)
+        set_flash(False)
+        model = build_model()
+        lo = measure_schedule(model, jnp.bfloat16, 64, start_slots=16,
+                              gen_frames=192, label="b64 lm cap256",
+                              lm_only=True)
+        hi = measure_schedule(model, jnp.bfloat16, 64, start_slots=400,
+                              gen_frames=96, label="b64 lm cap512",
+                              lm_only=True)
+        layers, heads, dh = (model.specs.transformer.num_layers,
+                             model.specs.transformer.num_heads,
+                             model.specs.transformer.d_model //
+                             model.specs.transformer.num_heads)
+        bytes_per_slot = layers * 2 * 64 * heads * dh * 2  # k+v, bf16, b64
+        dt = (hi["frame_ms"] - lo["frame_ms"]) / 1000
+        if dt > 0:
+            bw = bytes_per_slot * (512 - 256) / dt
+            print(f"  cache-stream effective BW ~ {bw/1e9:.0f} GB/s "
+                  f"({bytes_per_slot*(512-256)/1e6:.0f} MB extra per frame)",
+                  flush=True)
+
+    if "24parts" in sections:
+        print("=== italian_24l b1 int8 decomposition ===", flush=True)
+        set_flash(False)
+        m = build_model(quantize=True, config_name="italian_24l.yaml")
+        measure_schedule(m, jnp.bfloat16, 1, label="24l b1 int8 full")
+        measure_schedule(m, jnp.bfloat16, 1, label="24l b1 int8 lm-only",
+                         lm_only=True)
+        mb = build_model(quantize=False, config_name="italian_24l.yaml")
+        measure_schedule(mb, jnp.bfloat16, 1, label="24l b1 bf16 lm-only",
+                         lm_only=True)
+
     if "block" in sections:
         print("=== block-size sensitivity at b64 int8 ===", flush=True)
         import pocket_tts_tpu.pipeline.tts as T
