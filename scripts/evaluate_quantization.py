@@ -21,10 +21,13 @@ from __future__ import annotations
 import argparse
 import csv
 import statistics
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))  # repo-root execution
 
 
 def compute_snr(reference: np.ndarray, test: np.ndarray) -> float:
@@ -38,6 +41,51 @@ def compute_snr(reference: np.ndarray, test: np.ndarray) -> float:
     if p_noise == 0:
         return float("inf")
     return 10.0 * np.log10(p_sig / max(p_noise, 1e-12))
+
+
+def compute_fwsnrseg(reference: np.ndarray, test: np.ndarray,
+                     sample_rate: int, n_bands: int = 23) -> float:
+    """Frequency-weighted segmental SNR (Hu & Loizou 2008) — the perceptual
+    proxy that ALWAYS executes offline, reported alongside (never instead of)
+    real PESQ. Frames of 25 ms / 10 ms hop; per-frame mel-band SNRs weighted
+    by band energy^0.2, clipped to [-10, 35] dB, averaged."""
+    n = min(len(reference), len(test))
+    if n == 0:
+        return float("nan")
+    ref, t = reference[:n].astype(np.float64), test[:n].astype(np.float64)
+    frame, hop = int(0.025 * sample_rate), int(0.010 * sample_rate)
+    if n < frame:
+        return float("nan")
+    nfft = 1 << (frame - 1).bit_length()
+    # mel filterbank up to Nyquist
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    mel_pts = mel_to_hz(np.linspace(0.0, hz_to_mel(sample_rate / 2), n_bands + 2))
+    bins = np.floor((nfft + 1) * mel_pts / sample_rate).astype(int)
+    fb = np.zeros((n_bands, nfft // 2 + 1))
+    for b in range(n_bands):
+        lo, mid, hi = bins[b], bins[b + 1], bins[b + 2]
+        if mid > lo:
+            fb[b, lo:mid] = (np.arange(lo, mid) - lo) / max(mid - lo, 1)
+        if hi > mid:
+            fb[b, mid:hi] = (hi - np.arange(mid, hi)) / max(hi - mid, 1)
+    win = np.hanning(frame)
+    scores = []
+    for start in range(0, n - frame + 1, hop):
+        rf = ref[start:start + frame] * win
+        tf = t[start:start + frame] * win
+        rs = np.abs(np.fft.rfft(rf, nfft)) ** 2
+        es = np.abs(np.fft.rfft(rf - tf, nfft)) ** 2
+        rb = fb @ rs + 1e-12
+        eb = fb @ es + 1e-12
+        snr = np.clip(10.0 * np.log10(rb / eb), -10.0, 35.0)
+        w = rb ** 0.2
+        scores.append(float(np.sum(w * snr) / np.sum(w)))
+    return float(np.mean(scores)) if scores else float("nan")
 
 
 def compute_pesq(baseline: np.ndarray, test: np.ndarray,
@@ -134,6 +182,8 @@ def fmt(v) -> str:
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--language", default="english")
+    parser.add_argument("--config", default=None,
+                        help="custom YAML config (overrides --language)")
     parser.add_argument("--random-init", action="store_true")
     parser.add_argument("--voices", type=int, default=4, help="number of synthetic voices")
     parser.add_argument("--out", default="quantization_report")
@@ -145,8 +195,9 @@ def main() -> int:
     from pocket_tts_tpu.pipeline.tts import NoiseSource, TTSModel
     from pocket_tts_tpu.quant import quantize_flow_lm_int8
 
-    model = TTSModel.load_model(language=args.language,
-                                allow_random_init=args.random_init)
+    model = TTSModel.load_model(
+        language=None if args.config else args.language, config=args.config,
+        allow_random_init=args.random_init)
     f32_params = model.params
     asr = WhisperASR(args.whisper_model) if not args.skip_wer else None
     if asr is not None and not asr.available:
@@ -193,7 +244,7 @@ def main() -> int:
             )
             wall = time.monotonic() - t0
             rts = (len(audio) / model.sample_rate) / max(wall, 1e-9)
-            pesq_score = None
+            pesq_score = fwsnrseg = None
             wer_b = wer_q = None
             if name == "f32":
                 baselines[v] = audio
@@ -204,6 +255,7 @@ def main() -> int:
             else:
                 snr = compute_snr(baselines[v], audio)
                 pesq_score = compute_pesq(baselines[v], audio, model.sample_rate)
+                fwsnrseg = compute_fwsnrseg(baselines[v], audio, model.sample_rate)
                 wer_b = wer_baseline.get(v)
                 if asr is not None and sentences[v]:
                     wer_q = asr.word_error_rate(audio, model.sample_rate, sentences[v])
@@ -211,6 +263,8 @@ def main() -> int:
                 "config": name, "voice": v, "rts": round(rts, 2),
                 "snr_db": round(snr, 2) if np.isfinite(snr) else "inf",
                 "pesq": None if pesq_score is None else round(pesq_score, 3),
+                "fwsnrseg_db": (None if fwsnrseg is None or not np.isfinite(fwsnrseg)
+                                else round(fwsnrseg, 2)),
                 "wer_baseline": wer_b, "wer_quantized": wer_q,
                 "audio_s": round(len(audio) / model.sample_rate, 2),
                 "weights_mb": round(weights_mb, 1),
