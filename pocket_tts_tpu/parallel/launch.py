@@ -104,6 +104,15 @@ def run_worker(args) -> dict:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
+    # fault injection for the recovery test: worker 1 dies once, before
+    # joining the job, leaving a marker so the retry attempt proceeds
+    if args.fail_once_marker and args.process_id == 1:
+        marker = args.fail_once_marker
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("crashed")
+            raise RuntimeError("injected worker failure (fail-once marker)")
+
     from pocket_tts_tpu.parallel.multihost import (
         assert_mesh_healthy,
         initialize_multihost,
@@ -209,9 +218,7 @@ def run_worker(args) -> dict:
     return report
 
 
-def spawn_local(args) -> dict:
-    """Spawn --processes CPU-backend workers of this module on this machine
-    (bring-up / CI mode) and return process 0's report."""
+def _spawn_once(args) -> dict:
     import socket
 
     with socket.socket() as s:  # pick a free coordinator port
@@ -238,6 +245,8 @@ def spawn_local(args) -> dict:
             cmd_base.append("--allow-random-init")
     if args.out:
         cmd_base += ["--out", args.out]
+    if args.fail_once_marker:
+        cmd_base += ["--fail-once-marker", args.fail_once_marker]
 
     procs = []
     for pid in range(args.processes):
@@ -249,24 +258,66 @@ def spawn_local(args) -> dict:
             env=env, cwd=os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))),
         ))
+    # supervise: the moment any worker dies, terminate the rest (they would
+    # otherwise block in jax.distributed init / heartbeats for minutes)
+    deadline = time.monotonic() + args.timeout
+    failed = None
+    while any(p.poll() is None for p in procs):
+        if time.monotonic() > deadline:
+            for p in procs:
+                p.terminate()
+            raise subprocess.TimeoutExpired("launch workers", args.timeout)
+        for pid, p in enumerate(procs):
+            rc = p.poll()
+            if rc is not None and rc != 0 and failed is None:
+                failed = (pid, rc)
+                for q in procs:
+                    if q.poll() is None:
+                        q.terminate()
+        time.sleep(0.2)
     report = None
     outs = []
     for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=args.timeout)
-        outs.append(out)
-        if p.returncode != 0:
-            for o in outs:
-                sys.stderr.write(o)
-            raise RuntimeError(f"worker {pid} exited with {p.returncode}")
-        for line in out.splitlines():
+        out, _ = p.communicate()
+        outs.append(out or "")
+        if p.returncode != 0 and failed is None and p.returncode is not None:
+            failed = (pid, p.returncode)
+        for line in (out or "").splitlines():
             if line.startswith(MULTIHOST_TAG):
                 report = json.loads(line[len(MULTIHOST_TAG):])
+    if failed is not None:
+        for o in outs:
+            sys.stderr.write(o)
+        raise RuntimeError(f"worker {failed[0]} exited with {failed[1]}")
     if report is None:
         for o in outs:
             sys.stderr.write(o)
         raise RuntimeError("no worker reported a result")
-    print(MULTIHOST_TAG + json.dumps(report), flush=True)
     return report
+
+
+def spawn_local(args) -> dict:
+    """Spawn --processes CPU-backend workers of this module on this machine
+    (bring-up / CI mode) and return process 0's report.
+
+    Failure recovery at deployment scope (SURVEY §5): inference is stateless —
+    weights reload, voice states rebuild, the utterance batch is the retry
+    unit — so a worker dying (the jax.distributed health check then tears the
+    whole job down) is recovered by relaunching the job once and re-decoding
+    the batch. `--retries` bounds the relaunches."""
+    last = None
+    for attempt in range(args.retries + 1):
+        try:
+            report = _spawn_once(args)
+            report["attempts"] = attempt + 1
+            print(MULTIHOST_TAG + json.dumps(report), flush=True)
+            return report
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            last = e
+            if attempt < args.retries:
+                print(f"job attempt {attempt + 1} failed ({e}); relaunching",
+                      file=sys.stderr, flush=True)
+    raise last
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -294,6 +345,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="concatenated WAV (process 0)")
     p.add_argument("--timeout", type=float, default=600.0)
+    p.add_argument("--retries", type=int, default=1,
+                   help="full-job relaunches after a worker failure")
+    p.add_argument("--fail-once-marker", default=None,
+                   help=argparse.SUPPRESS)  # fault injection (tests)
     return p
 
 

@@ -51,6 +51,31 @@ def test_two_process_dp_serving(two_proc):
     assert all(s > 0 for s in r["row_samples"])
 
 
+def test_worker_failure_recovers_by_relaunch(tmp_path):
+    """Failure recovery at deployment scope (SURVEY §5): a worker process dies
+    on the first job attempt (fault-injected); the launcher terminates the
+    peers, relaunches once — inference is stateless, so the batch simply
+    re-decodes — and the job completes with attempts=2."""
+    marker = tmp_path / "crash.marker"
+    cmd = [
+        sys.executable, "-m", "pocket_tts_tpu.parallel.launch",
+        "--processes", "2", "--cpu", "2", "--tiny", "--utterances", "2",
+        "--seed", "3", "--fail-once-marker", str(marker),
+    ]
+    out = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                         timeout=540)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert marker.exists()  # the injected crash really happened
+    assert "relaunching" in out.stderr
+    report = None
+    for line in out.stdout.splitlines():
+        if line.startswith(TAG):
+            report = json.loads(line[len(TAG):])
+    assert report is not None
+    assert report["attempts"] == 2
+    assert report["mesh_healthy"] and all(s > 0 for s in report["row_samples"])
+
+
 def test_process_sharding_is_audio_invariant(two_proc):
     """The same batch through 1 process and 2 processes yields identical audio
     (identical per-row noise + voices + tokens; only the process sharding
