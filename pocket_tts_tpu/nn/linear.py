@@ -23,11 +23,12 @@ def _gemv_mode() -> str:
     """POCKET_TTS_TPU_GEMV: "1" = Pallas for decode GEMVs, default = never.
 
     Measured on v5e (full-pipeline A/B, batch-1 decode): XLA's dot wins for
-    both plain and int8 weights — bf16 streams at ~990 GB/s (kernel: 943), and
-    int8 runs 163 vs 147 audio-s/s (XLA fuses the int8->bf16 convert into the
-    dot; routing each GEMV to a separate Pallas launch breaks XLA's fusion
-    across neighboring elementwise ops). The kernel stays parity-tested as
-    insurance against XLA GEMV regressions."""
+    both plain and int8 weights — int8 ran 163 vs 147 audio-s/s in round 1,
+    and on the 24-layer model (round 4, production schedule) the gap is
+    decisive: int8 60.6 vs 38.1, bf16 45.9 vs 25.5 audio-s/s. Routing each
+    GEMV to a separate Pallas launch breaks XLA's fusion across neighboring
+    elementwise ops and its cross-layer weight prefetch. The kernel stays
+    parity-tested as insurance against XLA GEMV regressions."""
     return "all" if os.environ.get("POCKET_TTS_TPU_GEMV") == "1" else "off"
 
 

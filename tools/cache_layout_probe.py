@@ -1,11 +1,13 @@
 """Probe: decode-attention cache-read bandwidth in two cache layouts.
 
-The r4 lmbw probe measured the production cache stream at ~211 GB/s (vs ~819
-peak). This isolates the attention read: a scan of T=1 two-piece SDPA steps
-over a [B,C,H,Dh] cache (production layout) vs a [B,H,C,Dh] cache (head-major:
-both einsums become natural per-(b,h) [C,Dh] panel matmuls), plus the full
-layer step (qkv + rope + append) in both layouts. Decides the StackState
-reorder before touching the numerics core.
+Measures, over a scan of T=1 steps against a fixed KV cache:
+  1. raw read ceiling — a non-hoistable full reduce of K and V per step;
+  2. two-piece SDPA step in the production [B,C,H,Dh] layout;
+  3. the same in head-major [B,H,C,Dh] (both einsums become per-(b,h)
+     [C,Dh]-panel matmuls).
+Queries depend on the previous step's output so nothing hoists out of the
+loop; caches are read-only arguments (no donation). Decides whether the
+StackState reorder is worth the numerics-core refactor.
 
 Usage: python tools/cache_layout_probe.py [B] [C] [steps]
 """
@@ -27,24 +29,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 C = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 L, H, Dh = 6, 16, 64
 DT = jnp.bfloat16
+KV_BYTES = 2 * L * B * C * H * Dh * 2  # k+v, bf16, all layers, per step
 
 
-def run(fn, carry, label, bytes_per_step):
-    fn = jax.jit(fn, donate_argnums=(0,))
-    carry = fn(carry)  # compile
-    np.asarray(jax.tree.leaves(carry)[0]).ravel()[0]
+def bench(fn, args, label):
+    fn = jax.jit(fn)
+    out = fn(*args)
+    np.asarray(out).ravel()[0]  # compile + completion barrier
     best = float("inf")
     for _ in range(3):
         t0 = time.monotonic()
-        carry = fn(carry)
-        np.asarray(jax.tree.leaves(carry)[0]).ravel()[0]
+        out = fn(*args)
+        np.asarray(out).ravel()[0]
         best = min(best, time.monotonic() - t0)
     per_step = best / STEPS
     print(f"  {label:34s} {per_step*1e6:9.1f} us/step  "
-          f"{bytes_per_step/per_step/1e9:7.0f} GB/s", flush=True)
+          f"{KV_BYTES/per_step/1e9:7.0f} GB/s", flush=True)
     return per_step
 
 
@@ -52,92 +55,65 @@ def main():
     print(f"device: {jax.devices()[0]}  B={B} C={C} L={L} steps={STEPS}",
           flush=True)
     key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 8)
+    k0 = jax.random.normal(jax.random.fold_in(key, 1), (L, B, C, H, Dh), DT)
+    v0 = jax.random.normal(jax.random.fold_in(key, 2), (L, B, C, H, Dh), DT)
+    mask = jax.random.uniform(jax.random.fold_in(key, 3), (B, 1, 1, C)) > 0.1
     scale = 1.0 / (Dh ** 0.5)
     neg = jnp.finfo(jnp.float32).min
-    kv_bytes = 2 * L * B * C * H * Dh * 2  # k+v, bf16, all layers
 
-    q0 = jax.random.normal(ks[2], (L, B, 1, H, Dh), DT)
-    mask = (jax.random.uniform(ks[3], (B, 1, 1, C)) > 0.1)
+    # ---- 1. raw read ceiling (non-hoistable reduce, step-dependent) ----
+    def raw(ck, cv):
+        def body(s, _):
+            r = jnp.sum(jnp.maximum(ck, s)) + jnp.sum(jnp.maximum(cv, s))
+            return s + r * 1e-30, None
+        s, _ = jax.lax.scan(body, jnp.asarray(0.0, DT), None, length=STEPS)
+        return s
 
-    # ---- attention read only, [B, C, H, Dh] (production layout) ----
-    cache_bchd = (jax.random.normal(ks[0], (L, B, C, H, Dh), DT),
-                  jax.random.normal(ks[1], (L, B, C, H, Dh), DT))
+    bench(raw, (k0, v0), "raw full read")
 
-    def att_bchd(carry):
-        ck, cv, q = carry
+    # ---- 2. attention, production [B,C,H,Dh] ----
+    def att_bchd(ck, cv, h0):
         def body(h, _):
             def layer(acc, xs):
-                k, v, qq = xs
-                lc = jnp.einsum("bthd,bchd->bhtc", qq, k,
+                k, v = xs
+                lc = jnp.einsum("bthd,bchd->bhtc", acc, k,
                                 preferred_element_type=jnp.float32) * scale
                 lc = jnp.where(mask, lc, neg)
                 w = jax.nn.softmax(lc, axis=-1)
                 o = jnp.einsum("bhtc,bchd->bthd", w.astype(v.dtype), v,
                                preferred_element_type=jnp.float32)
-                return acc + o.astype(DT), None
-            acc, _ = jax.lax.scan(layer, h, (ck, cv, q), unroll=True)
+                return (acc + o).astype(DT), None
+            acc, _ = jax.lax.scan(layer, h, (ck, cv), unroll=True)
             return acc, None
-        out, _ = jax.lax.scan(body, jnp.zeros((B, 1, H, Dh), DT), None,
-                              length=STEPS)
-        return ck, cv, q + out[None] * 1e-6  # keep q live
+        h, _ = jax.lax.scan(body, h0, None, length=STEPS)
+        return h
 
-    t_bchd = run(att_bchd, (cache_bchd[0], cache_bchd[1], q0),
-                 "attend [B,C,H,Dh] (production)", kv_bytes)
+    h0 = jax.random.normal(jax.random.fold_in(key, 4), (B, 1, H, Dh), DT)
+    t_prod = bench(att_bchd, (k0, v0, h0), "attend [B,C,H,Dh] (production)")
 
-    # ---- attention read only, [B, H, C, Dh] (head-major) ----
-    cache_bhcd = (jnp.transpose(cache_bchd[0], (0, 1, 3, 2, 4)),
-                  jnp.transpose(cache_bchd[1], (0, 1, 3, 2, 4)))
+    # ---- 3. attention, head-major [B,H,C,Dh] ----
+    k1 = jnp.transpose(k0, (0, 1, 3, 2, 4))
+    v1 = jnp.transpose(v0, (0, 1, 3, 2, 4))
+    mask_h = mask  # [B,1,1,C] broadcasts identically over the head axis
 
-    def att_bhcd(carry):
-        ck, cv, q = carry
+    def att_bhcd(ck, cv, h0):
         def body(h, _):
             def layer(acc, xs):
-                k, v, qq = xs
-                lc = jnp.einsum("bthd,bhcd->bhtc", qq, k,
+                k, v = xs
+                lc = jnp.einsum("bthd,bhcd->bhtc", acc, k,
                                 preferred_element_type=jnp.float32) * scale
-                lc = jnp.where(mask, lc, neg)
+                lc = jnp.where(mask_h, lc, neg)
                 w = jax.nn.softmax(lc, axis=-1)
                 o = jnp.einsum("bhtc,bhcd->bthd", w.astype(v.dtype), v,
                                preferred_element_type=jnp.float32)
-                return acc + o.astype(DT), None
-            acc, _ = jax.lax.scan(layer, h, (ck, cv, q), unroll=True)
+                return (acc + o).astype(DT), None
+            acc, _ = jax.lax.scan(layer, h, (ck, cv), unroll=True)
             return acc, None
-        out, _ = jax.lax.scan(body, jnp.zeros((B, 1, H, Dh), DT), None,
-                              length=STEPS)
-        return ck, cv, q + out[None] * 1e-6
+        h, _ = jax.lax.scan(body, h0, None, length=STEPS)
+        return h
 
-    t_bhcd = run(att_bhcd, (cache_bhcd[0], cache_bhcd[1], q0),
-                 "attend [B,H,C,Dh] (head-major)", kv_bytes)
-
-    # ---- with the append write in the loop (in-place dus pressure) ----
-    def att_bchd_write(carry):
-        ck, cv, q, slot = carry
-        def body(c, _):
-            h, slot = c
-            def layer(acc, xs):
-                k, v, qq = xs
-                lc = jnp.einsum("bthd,bchd->bhtc", qq, k,
-                                preferred_element_type=jnp.float32) * scale
-                lc = jnp.where(mask, lc, neg)
-                w = jax.nn.softmax(lc, axis=-1)
-                o = jnp.einsum("bhtc,bchd->bthd", w.astype(v.dtype), v,
-                               preferred_element_type=jnp.float32)
-                return acc + o.astype(DT), None
-            acc, _ = jax.lax.scan(layer, h, (ck, cv, q), unroll=True)
-            return (acc, slot), None
-        (out, slot), _ = jax.lax.scan(body, (jnp.zeros((B, 1, H, Dh), DT), slot),
-                                      None, length=STEPS)
-        ck = jax.lax.dynamic_update_slice(
-            ck, out[None].astype(DT).transpose(0, 1, 2, 3, 4)[:1] *
-            jnp.ones((L, 1, 1, 1, 1), DT), (0, 0, slot % C, 0, 0))
-        return ck, cv, q + out[None] * 1e-6, slot + 1
-
-    t_w = run(att_bchd_write,
-              (cache_bchd[0], cache_bchd[1], q0, jnp.asarray(0, jnp.int32)),
-              "attend+append [B,C,H,Dh]", kv_bytes)
-
-    print(f"  head-major speedup: {t_bchd / t_bhcd:.2f}x", flush=True)
+    t_head = bench(att_bhcd, (k1, v1, h0), "attend [B,H,C,Dh] (head-major)")
+    print(f"  head-major speedup: {t_prod / t_head:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
