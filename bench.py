@@ -91,8 +91,14 @@ def post_prompt_state(model, batch: int, start_slots: int, dtype):
 
 
 def measure_throughput(model, dtype, batch: int, start_slots: int = START_SLOTS,
-                       gen_frames: int = GEN_FRAMES, trials: int = 3):
-    """Median wall time of the production block schedule (see module docstring)."""
+                       gen_frames: int = GEN_FRAMES, trials: int | None = None):
+    """Median wall time of the production block schedule (see module docstring).
+
+    Small batches get more trials: their runs are short (~0.2 s), so tunnel
+    latency jitter dominates the median at 3 trials (observed b1 spread
+    122-151 audio-s/s across bench invocations)."""
+    if trials is None:
+        trials = 7 if batch <= 4 else 3
     from pocket_tts_tpu.models.mimi import init_decoder_state
     from pocket_tts_tpu.pipeline.tts import _block_size
 
@@ -195,15 +201,19 @@ def measure_long_text_split(model, dtype):
     model.tokenizer = _StubTokenizer()
     orig_gen = model.gen
 
+    # Warm-up must replay the EXACT measured run (same sentence count): with
+    # copy_state=False the state grows across chunks, so chunk N hits prompt/
+    # capacity buckets chunk 1 never sees — a shorter warm-up leaves compiles
+    # inside the measured section (observed: 17 s "gaps").
     # sustained: EOS disabled, every chunk runs to its max_gen_len
     model.gen = dataclasses.replace(orig_gen, eos_threshold=float("inf"))
-    _long_text_run(model, dtype, sentences=2)  # compile
+    _long_text_run(model, dtype, sentences=8)  # compile all buckets
     wall, audio_s, max_gap_ms, _ = _long_text_run(model, dtype, sentences=8)
     rtf = audio_s / wall
 
     # overhead: default threshold, chunks collapse to the fixed cost
     model.gen = orig_gen
-    _long_text_run(model, dtype, sentences=2)  # compile
+    _long_text_run(model, dtype, sentences=24)  # compile all buckets
     o_wall, _, _, o_chunks = _long_text_run(model, dtype, sentences=24)
     model.tokenizer = None
     return {

@@ -116,10 +116,11 @@ def _block_size(frames_started: int, warm: bool = False) -> int:
     compute; emission stays exact (the host trims at the stop step).
 
     `warm`: the stream already has buffered audio (chunks after the first in a
-    long text), so skip the single-frame latency ramp and start at scan
-    blocks — single-frame dispatches only pay per-chunk overhead there."""
+    long text), so skip the latency ramp entirely and dispatch steady-state
+    blocks from frame 0 — on a long text the per-chunk cost is block count x
+    dispatch/fetch round trips, not block latency."""
     if warm:
-        frames_started += FIRST_BLOCK_FRAMES
+        return MAX_BLOCK_FRAMES
     if frames_started < FIRST_BLOCK_FRAMES:
         return 1
     if frames_started < RAMP_FRAMES:
@@ -735,13 +736,11 @@ class TTSModel:
         stop_step = None  # first frame index NOT executed by the reference loop
         frames_started = 0
 
-        def emit(block_start, eos_arr, audio_arr):
+        def emit(block_start, flags, audio):
             """Apply reference emission semantics (tts_model.py:756-764) to a
-            block; returns False when generation must stop."""
+            block (host-fetched flags/audio); returns False when generation
+            must stop."""
             nonlocal eos_step, emitted, stop, stop_step
-            # one fused fetch: separate eos/audio fetches each pay a full
-            # host<->device round trip (the tunnel's per-chunk overhead term)
-            flags, audio = jax.device_get((eos_arr, audio_arr))
             flags = np.asarray(flags)  # [K, B] or [B]
             audio = np.asarray(audio)
             K = flags.shape[0] if flags.ndim == 2 else 1
@@ -785,22 +784,44 @@ class TTSModel:
             is_bos = jnp.zeros((B,), bool)
             inflight.append((frames_started, eos, audio))
             frames_started += K
-            if len(inflight) > 1:
-                start, e, a = inflight.popleft()
-                ok = emit(start, e, a)
+            # Group fetches: every host fetch pays a full round trip (~tens of
+            # ms over a tunneled device), so blocks are resolved in groups per
+            # jax.device_get while one stays speculatively in flight. During
+            # the cold ramp (first chunk building its buffer) the group is 1
+            # so first-frame latency is unaffected; once the stream is minutes
+            # ahead of real time the group deepens to 4 (fetch cost amortizes
+            # over 4 blocks; yields arrive in larger bursts, which downstream
+            # buffering absorbs). EOS can overshoot by up to a group of wasted
+            # compute — emission stays exact.
+            if not warm_start and frames_started <= RAMP_FRAMES:
+                group = 1
+            elif frames_started <= (2 if warm_start else 4) * MAX_BLOCK_FRAMES:
+                group = 2
+            else:
+                group = 4
+            if len(inflight) > group:
+                entries = [inflight.popleft() for _ in range(group)]
+                fetched = jax.device_get([(e, a) for _, e, a in entries])
+                for (start, _, _), (flags, audio) in zip(entries, fetched):
+                    ok = emit(start, flags, audio)
+                    for f in yield_frames:
+                        yield f
+                    yield_frames.clear()
+                    if not ok:
+                        break
+                if not ok:
+                    break
+        if inflight and not stop:
+            entries = list(inflight)
+            inflight.clear()
+            fetched = jax.device_get([(e, a) for _, e, a in entries])
+            for (start, _, _), (flags, audio) in zip(entries, fetched):
+                ok = emit(start, flags, audio)
                 for f in yield_frames:
                     yield f
                 yield_frames.clear()
                 if not ok:
                     break
-        while inflight and not stop:
-            start, e, a = inflight.popleft()
-            ok = emit(start, e, a)
-            for f in yield_frames:
-                yield f
-            yield_frames.clear()
-            if not ok:
-                break
         if eos_step is None and frames_started >= max_gen_len:
             # strict switch (reference tts_model.py:770-775; the reference reads
             # a misspelled `KPOCKET_...` name, making its own switch dead — we
@@ -952,16 +973,27 @@ class TTSModel:
                 latent = latent[-1]
             prev_latent = latent
             step += K
-            # resolve every fully-dispatched step except the newest block's
-            for s in range(resolved, min(step - K, max_gen_len)):
-                self._update_row_cuts(eos_flags, s, eos_step, end_step,
+            # resolve every fully-dispatched step except the newest block's;
+            # ONE fused fetch per dispatch (per-step fetches each pay a full
+            # round trip over a tunneled device)
+            upto = min(step - K, max_gen_len)
+            if upto > resolved:
+                host_flags = jax.device_get(
+                    [eos_flags[s] for s in range(resolved, upto)])
+                for s, hf in zip(range(resolved, upto), host_flags):
+                    self._update_row_cuts(hf, s, eos_step, end_step,
+                                          frames_after_eos)
+                    resolved = s + 1
+                    if all(end_step <= s):
+                        done = True
+                        break
+        upto = min(len(frames), max_gen_len)
+        if upto > resolved:
+            host_flags = jax.device_get(
+                [eos_flags[s] for s in range(resolved, upto)])
+            for s, hf in zip(range(resolved, upto), host_flags):
+                self._update_row_cuts(hf, s, eos_step, end_step,
                                       frames_after_eos)
-                resolved = s + 1
-                if all(end_step <= s):
-                    done = True
-                    break
-        for s in range(resolved, min(len(frames), max_gen_len)):
-            self._update_row_cuts(eos_flags, s, eos_step, end_step, frames_after_eos)
 
         if (eos_step < 0).any():
             rows = np.nonzero(eos_step < 0)[0].tolist()
@@ -974,6 +1006,7 @@ class TTSModel:
                 "this very often indicates an error.", rows,
             )
 
+        frames = jax.device_get(frames)  # one fused fetch of all audio blocks
         stacked = np.stack([np.asarray(f)[:, 0, :] for f in frames], axis=1)  # [B,S,1920]
         out = []
         for b in range(B):
@@ -1007,8 +1040,8 @@ class TTSModel:
         )
 
     @staticmethod
-    def _update_row_cuts(eos_flags, s, eos_step, end_step, frames_after_eos):
-        flags = np.asarray(eos_flags[s])
+    def _update_row_cuts(step_flags, s, eos_step, end_step, frames_after_eos):
+        flags = np.asarray(step_flags)
         newly = (flags > 0) & (eos_step < 0)
         eos_step[newly] = s
         has = eos_step >= 0

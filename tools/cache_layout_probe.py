@@ -115,6 +115,42 @@ def main():
     t_head = bench(att_bhcd, (k1, v1, h0), "attend [B,H,C,Dh] (head-major)")
     print(f"  head-major speedup: {t_prod / t_head:.2f}x", flush=True)
 
+    # ---- 4. int8 KV cache (+ per-(slot,head) scales): does the dequant fuse
+    # into the dots, halving streamed bytes — or does XLA materialize a f32
+    # cache copy per step? Decides the opt-in int8-KV serving mode. ----
+    def quant_kv(x):  # [L,B,C,H,Dh] -> int8 + f32 scale [L,B,C,H]
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        s = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
+                     -127, 127).astype(jnp.int8)
+        return q, s
+
+    kq, ks_ = quant_kv(k0)
+    vq, vs_ = quant_kv(v0)
+
+    def att_int8(ckq, cks, cvq, cvs, h0):
+        def body(h, _):
+            def layer(acc, xs):
+                kq, ks, vq, vs = xs
+                k = kq.astype(jnp.bfloat16) * ks[..., None].astype(jnp.bfloat16)
+                v = vq.astype(jnp.bfloat16) * vs[..., None].astype(jnp.bfloat16)
+                lc = jnp.einsum("bthd,bchd->bhtc", acc, k,
+                                preferred_element_type=jnp.float32) * scale
+                lc = jnp.where(mask, lc, neg)
+                w = jax.nn.softmax(lc, axis=-1)
+                o = jnp.einsum("bhtc,bchd->bthd", w.astype(v.dtype), v,
+                               preferred_element_type=jnp.float32)
+                return (acc + o).astype(DT), None
+            acc, _ = jax.lax.scan(layer, h, (ckq, cks, cvq, cvs), unroll=True)
+            return acc, None
+        h, _ = jax.lax.scan(body, h0, None, length=STEPS)
+        return h
+
+    t_i8 = bench(att_int8, (kq, ks_, vq, vs_, h0),
+                 "attend int8-KV (+scales)")
+    print(f"  int8-KV speedup vs bf16: {t_prod / t_i8:.2f}x "
+          f"(2x = perfect fusion, <1x = materialized dequant)", flush=True)
+
 
 if __name__ == "__main__":
     main()
