@@ -8,10 +8,10 @@ step with donated state buffers. The host driver:
 
 * buckets prompt lengths and KV capacities so there are only a handful of
   compiled variants (no shape-driven recompiles mid-stream);
-* runs the decode loop speculatively K frames ahead of the EOS check, so the
-  device never waits on the host (`_InflightFrame`); audio for frames past the
-  EOS cut is computed but simply never emitted — Mimi is causal, so earlier
-  frames are unaffected;
+* runs the decode loop speculatively ahead of the EOS check (an in-flight
+  block deque, resolved in fetch groups — see the emit loop), so the device
+  never waits on the host; audio for frames past the EOS cut is computed but
+  simply never emitted — Mimi is causal, so earlier frames are unaffected;
 * keeps JAX arrays immutable: `copy_state=True` is free (the voice state is
   never mutated; decode steps build fresh buffers via donation), while
   `copy_state=False` reproduces the reference's modify-in-place contract
@@ -100,7 +100,6 @@ VOICE_CLONING_UNSUPPORTED = (
 # KV-capacity buckets: compile once per bucket, never per exact length.
 CAPACITY_BUCKETS = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
 PROMPT_BUCKETS = (8, 16, 32, 64, 128, 192, 256, 384, 512)
-SPECULATIVE_DEPTH = 2  # frames the device runs ahead of the host EOS check
 FIRST_BLOCK_FRAMES = 2  # single-frame dispatches up front (first-chunk latency)
 SCAN_BLOCK_FRAMES = 8  # frames per scan dispatch while the stream ramps up
 MAX_BLOCK_FRAMES = 32  # steady-state frames per dispatch (2.56 s of audio)
