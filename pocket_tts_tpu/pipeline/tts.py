@@ -32,6 +32,7 @@ import math
 import os
 import time
 from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Callable, Iterator
 
@@ -139,6 +140,23 @@ def _use_fused_codec(mimi_params: dict) -> bool:
         return False
     w = mimi_params["decoder"]["0"].weight
     return w.dtype == jnp.bfloat16
+
+
+def _host_async(*arrs) -> None:
+    """Begin D2H transfers now, overlapped with in-flight compute, so a later
+    jax.device_get finds the bytes on the host (one round trip, no transfer
+    wait). No-op on backends without async copies."""
+    for arr in arrs:
+        try:
+            arr.copy_to_host_async()
+        except Exception:
+            pass
+
+
+def _fresh_seed() -> int:
+    """Entropy for a device-noise generation with no caller seed (matches
+    NoiseSource's default_rng(None) contract: distinct runs differ)."""
+    return int(np.random.SeedSequence().entropy % (2**31))
 
 
 def _bucket(n: int, buckets) -> int:
@@ -396,10 +414,28 @@ class TTSModel:
 
         return self._jit("audio_prompt", lambda: jax.jit(run))
 
-    def _fused_step_fn(self, att_len: int | None = None):
-        """(lm_state, mimi_state, prev_latent, is_bos, noise) -> one 80 ms frame."""
+    def _device_noise(self, key, shape):
+        """Flow noise generated ON DEVICE inside the jitted step: N(0, temp)
+        with the same absolute ±noise_clamp truncation as NoiseSource (the
+        host/numpy twin kept for injected/recorded streams). Production
+        drivers use this path — it removes both the per-block host truncnorm
+        computation and the H2D upload round trip (the tunneled device pays
+        ~tens of ms per transfer; measured in the long-text bench)."""
+        std = self.gen.temp ** 0.5
+        if self.gen.noise_clamp is None:
+            return jax.random.normal(key, shape, jnp.float32) * std
+        c = self.gen.noise_clamp / std
+        return jax.random.truncated_normal(key, -c, c, shape, jnp.float32) * std
+
+    def _fused_step_fn(self, att_len: int | None = None, device_noise: bool = False):
+        """(lm_state, mimi_state, prev_latent, is_bos, noise) -> one 80 ms frame.
+
+        `device_noise=True`: the `noise` argument is a PRNG key instead of a
+        [B, ldim] array; the flow noise is generated inside the step."""
 
         def run(params, mimi_params, lm_state, mimi_state, prev_latent, is_bos, noise):
+            if device_noise:
+                noise = self._device_noise(noise, prev_latent.shape)
             latent, eos, lm_state = decode_step(
                 self.specs, params, lm_state, prev_latent, is_bos, noise,
                 lsd_steps=self.gen.lsd_decode_steps,
@@ -413,10 +449,12 @@ class TTSModel:
             )
             return latent, eos, audio, lm_state, mimi_state
 
-        key = ("fused_step", att_len, self.gen.lsd_decode_steps, self.gen.eos_threshold)
+        key = ("fused_step", att_len, self.gen.lsd_decode_steps, self.gen.eos_threshold,
+               device_noise and (self.gen.temp, self.gen.noise_clamp))
         return self._jit(key, lambda: jax.jit(run, donate_argnums=(2, 3)))
 
-    def _multi_step_fn(self, block: int, att_len: int | None = None):
+    def _multi_step_fn(self, block: int, att_len: int | None = None,
+                       device_noise: bool = False):
         """K frames per dispatch: the (sequential) FlowLM decode runs as a
         lax.scan, then the WHOLE block's latents go through the Mimi codec in
         one call — one windowed attention over 16K timesteps and 16K-long
@@ -427,6 +465,10 @@ class TTSModel:
         Returns (latents [K,B,ldim], eos [K,B], audio [K,B,1,1920], states)."""
 
         def run(params, mimi_params, lm_state, mimi_state, prev_latent, is_bos0, noise):
+            if device_noise:
+                B, ldim = prev_latent.shape
+                noise = self._device_noise(noise, (block, B, ldim))
+
             def body(carry, xs):
                 lm_state, prev, is_bos = carry
                 step_noise = xs
@@ -455,7 +497,8 @@ class TTSModel:
             return latents, eos, audio, lm_state, mimi_state
 
         key = ("multi_step", block, att_len, self.gen.lsd_decode_steps,
-               self.gen.eos_threshold)
+               self.gen.eos_threshold,
+               device_noise and (self.gen.temp, self.gen.noise_clamp))
         return self._jit(key, lambda: jax.jit(run, donate_argnums=(2, 3)))
 
     def _encode_fn(self):
@@ -652,15 +695,19 @@ class TTSModel:
             self.tokenizer, text_to_generate, max_tokens,
             self.pad_with_spaces_for_short_inputs, self.remove_semicolons,
         )
-        noise = noise_source or NoiseSource(self.gen, seed)
+        # noise_source=None -> device-side PRNG inside the jitted step (no
+        # host truncnorm, no per-block H2D upload); an explicit source (tests,
+        # recorded parity streams) keeps the host path. One seed is derived
+        # per chunk so chunk N is deterministic given (seed, N).
         for i, chunk in enumerate(chunks):
             _, guess = prepare_text_prompt(
                 chunk, self.pad_with_spaces_for_short_inputs, self.remove_semicolons
             )
             effective = frames_after_eos if frames_after_eos is not None else guess + 2
             yield from self.generate_audio_stream_from_tokens(
-                model_state, self._encode_text(chunk), effective, noise,
+                model_state, self._encode_text(chunk), effective, noise_source,
                 write_back=not copy_state, warm_start=i > 0,
+                seed=None if seed is None else seed + i,
             )
 
     def generate_audio_stream_from_tokens(
@@ -668,10 +715,11 @@ class TTSModel:
         model_state: StackState,
         tokens: list[int],
         frames_after_eos: int,
-        noise_source: Callable,
+        noise_source: Callable | None = None,
         max_gen_len: int | None = None,
         write_back: bool = False,
         warm_start: bool = False,
+        seed: int | None = None,
     ) -> Iterator[np.ndarray]:
         """Single-chunk generation from token ids (B=1). Emission semantics match
         the reference AR loop exactly (tts_model.py:744-779).
@@ -723,12 +771,20 @@ class TTSModel:
         ldim = self.specs.ldim
         prev_latent = jnp.zeros((B, ldim), jnp.float32)
         is_bos = jnp.ones((B,), bool)
+        device_noise = noise_source is None
+        if device_noise:
+            base_key = jax.random.PRNGKey(
+                seed if seed is not None else _fresh_seed())
 
         # Low-latency single steps for the first frames, then K-frame scan blocks
         # (one dispatch per block amortizes the host->device round trip). One
         # block stays speculatively in flight so the device never idles on the
-        # host-side EOS check.
+        # host-side EOS check; fetches run on a single background thread so
+        # their round-trip latency overlaps the next blocks' dispatch/compute
+        # instead of serializing with it.
         inflight: deque = deque()
+        pending: deque = deque()  # (entries, Future) submitted to the fetcher
+        fetch_pool = ThreadPoolExecutor(max_workers=1)
         eos_step = None
         emitted = 0
         stop = False
@@ -758,69 +814,92 @@ class TTSModel:
                 yield_frames.append(audio[i, 0, 0] if audio.ndim == 4 else audio[0, 0])
             return True
 
+        def submit(n: int) -> None:
+            entries = [inflight.popleft() for _ in range(n)]
+            fut = fetch_pool.submit(
+                jax.device_get, [(e, a) for _, e, a in entries])
+            pending.append((entries, fut))
+
+        def resolve(block: bool) -> bool:
+            """Emit results of completed fetches, oldest first; with
+            block=True wait for every outstanding fetch. Returns False when
+            generation must stop."""
+            while pending and (block or pending[0][1].done()):
+                entries, fut = pending.popleft()
+                for (start, _, _), (flags, audio) in zip(entries, fut.result()):
+                    if not emit(start, flags, audio):
+                        return False
+            return True
+
         start_slots = slots_used + pad_to  # slot watermark after the text prompt
         yield_frames: list[np.ndarray] = []
-        while frames_started < max_gen_len and not stop:
-            K = _block_size(frames_started, warm=warm_start)
-            if self.cache_growth:
-                lm_state = self._ensure_capacity(
-                    lm_state, start_slots + frames_started + K
-                )
-            if K == 1:
-                noise = jnp.asarray(noise_source((B, ldim)))
-                latent, eos, audio, lm_state, mimi_state = self._fused_step_fn()(
-                    self.params, self.mimi_params, lm_state, mimi_state,
-                    prev_latent, is_bos, noise,
-                )
-            else:
-                noise = jnp.asarray(noise_source((K, B, ldim)))
-                latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(K)(
-                    self.params, self.mimi_params, lm_state, mimi_state,
-                    prev_latent, is_bos, noise,
-                )
-                latent = latent[-1]
-            prev_latent = latent
-            is_bos = jnp.zeros((B,), bool)
-            inflight.append((frames_started, eos, audio))
-            frames_started += K
-            # Group fetches: every host fetch pays a full round trip (~tens of
-            # ms over a tunneled device), so blocks are resolved in groups per
-            # jax.device_get while one stays speculatively in flight. During
-            # the cold ramp (first chunk building its buffer) the group is 1
-            # so first-frame latency is unaffected; once the stream is minutes
-            # ahead of real time the group deepens to 4 (fetch cost amortizes
-            # over 4 blocks; yields arrive in larger bursts, which downstream
-            # buffering absorbs). EOS can overshoot by up to a group of wasted
-            # compute — emission stays exact.
-            if not warm_start and frames_started <= RAMP_FRAMES:
-                group = 1
-            elif frames_started <= (2 if warm_start else 4) * MAX_BLOCK_FRAMES:
-                group = 2
-            else:
-                group = 4
-            if len(inflight) > group:
-                entries = [inflight.popleft() for _ in range(group)]
-                fetched = jax.device_get([(e, a) for _, e, a in entries])
-                for (start, _, _), (flags, audio) in zip(entries, fetched):
-                    ok = emit(start, flags, audio)
-                    for f in yield_frames:
-                        yield f
-                    yield_frames.clear()
-                    if not ok:
-                        break
-                if not ok:
-                    break
-        if inflight and not stop:
-            entries = list(inflight)
-            inflight.clear()
-            fetched = jax.device_get([(e, a) for _, e, a in entries])
-            for (start, _, _), (flags, audio) in zip(entries, fetched):
-                ok = emit(start, flags, audio)
+        try:
+            while frames_started < max_gen_len and not stop:
+                K = _block_size(frames_started, warm=warm_start)
+                if self.cache_growth:
+                    lm_state = self._ensure_capacity(
+                        lm_state, start_slots + frames_started + K
+                    )
+                if device_noise:
+                    noise = jax.random.fold_in(base_key, frames_started)
+                else:
+                    noise = jnp.asarray(
+                        noise_source((B, ldim) if K == 1 else (K, B, ldim)))
+                if K == 1:
+                    latent, eos, audio, lm_state, mimi_state = self._fused_step_fn(
+                        device_noise=device_noise)(
+                        self.params, self.mimi_params, lm_state, mimi_state,
+                        prev_latent, is_bos, noise,
+                    )
+                else:
+                    latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(
+                        K, device_noise=device_noise)(
+                        self.params, self.mimi_params, lm_state, mimi_state,
+                        prev_latent, is_bos, noise,
+                    )
+                    latent = latent[-1]
+                prev_latent = latent
+                is_bos = jnp.zeros((B,), bool)
+                _host_async(eos, audio)
+                inflight.append((frames_started, eos, audio))
+                frames_started += K
+                # Fetch-group schedule. Measured on the tunneled chip (see
+                # STATUS.md long-text section): with async dispatch the b1 device
+                # is <35% busy, so wall time for a warmed stream is almost
+                # entirely fetch-count x round-trip (~40-90 ms each) — the group
+                # depth IS the sustained-RTF knob. The cold ramp keeps group 1
+                # only while the listener has <~1 s buffered; warm chunks go
+                # straight to the deepest group (their chunk-end drain is one
+                # more fetch, so a ~5-block chunk pays ~1-2 round trips total).
+                if warm_start:
+                    group = 8
+                elif frames_started <= FIRST_BLOCK_FRAMES + SCAN_BLOCK_FRAMES:
+                    group = 1
+                elif frames_started <= RAMP_FRAMES:
+                    group = 2
+                elif frames_started <= 4 * MAX_BLOCK_FRAMES:
+                    group = 4
+                else:
+                    group = 8
+                if len(inflight) > group:
+                    submit(group)
+                ok = resolve(block=False)
                 for f in yield_frames:
                     yield f
                 yield_frames.clear()
                 if not ok:
                     break
+            if not stop:
+                if inflight:
+                    submit(len(inflight))
+                resolve(block=True)
+                for f in yield_frames:
+                    yield f
+                yield_frames.clear()
+        finally:
+            # abandoned generators (client disconnect) must not leak the
+            # fetch thread; queued device_gets just drain and discard
+            fetch_pool.shutdown(wait=False)
         if eos_step is None and frames_started >= max_gen_len:
             # strict switch (reference tts_model.py:770-775; the reference reads
             # a misspelled `KPOCKET_...` name, making its own switch dead — we
@@ -929,7 +1008,10 @@ class TTSModel:
         lm_state, mimi_state = self._maybe_shard_batch(lm_state, mimi_state)
         lm_state = self._text_prompt_fn()(self.params, lm_state, jnp.asarray(tok), true_len)
 
-        noise_fn = noise_source or NoiseSource(self.gen, seed)
+        device_noise = noise_source is None
+        if device_noise:
+            batch_key = jax.random.PRNGKey(
+                seed if seed is not None else _fresh_seed())
 
         ldim = self.specs.ldim
         prev_latent = jnp.zeros((B, ldim), jnp.float32)
@@ -952,23 +1034,30 @@ class TTSModel:
             if self.cache_growth:
                 lm_state = self._ensure_capacity(lm_state, start_slots + step + K)
             is_bos = jnp.full((B,), step == 0, bool)
+            if device_noise:
+                noise = jax.random.fold_in(batch_key, step)
+            else:
+                noise = jnp.asarray(
+                    noise_source((B, ldim) if K == 1 else (K, B, ldim)))
             if K == 1:
-                noise = jnp.asarray(noise_fn((B, ldim)))
-                latent, eos, audio, lm_state, mimi_state = self._fused_step_fn()(
+                latent, eos, audio, lm_state, mimi_state = self._fused_step_fn(
+                    device_noise=device_noise)(
                     self.params, self.mimi_params, lm_state, mimi_state,
                     prev_latent, is_bos, noise,
                 )
                 frames.append(audio)
                 eos_flags.append(eos)
+                _host_async(eos, audio)
             else:
-                noise = jnp.asarray(noise_fn((K, B, ldim)))
-                latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(K)(
+                latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(
+                    K, device_noise=device_noise)(
                     self.params, self.mimi_params, lm_state, mimi_state,
                     prev_latent, is_bos, noise,
                 )
-                for i in range(K):  # lazy slices; no device sync here
+                for i in range(K):  # eager slices; no device sync here
                     frames.append(audio[i])
                     eos_flags.append(eos[i])
+                _host_async(*frames[-K:], *eos_flags[-K:])
                 latent = latent[-1]
             prev_latent = latent
             step += K
