@@ -697,8 +697,10 @@ class TTSModel:
         )
         # noise_source=None -> device-side PRNG inside the jitted step (no
         # host truncnorm, no per-block H2D upload); an explicit source (tests,
-        # recorded parity streams) keeps the host path. One seed is derived
-        # per chunk so chunk N is deterministic given (seed, N).
+        # recorded parity streams) keeps the host path. Chunk seeds are spawned
+        # through SeedSequence([seed, i]) so chunk N is deterministic given
+        # (seed, N) while adjacent caller seeds give statistically independent
+        # streams (seed+i would alias seed=5/chunk 1 with seed=6/chunk 0).
         for i, chunk in enumerate(chunks):
             _, guess = prepare_text_prompt(
                 chunk, self.pad_with_spaces_for_short_inputs, self.remove_semicolons
@@ -707,7 +709,8 @@ class TTSModel:
             yield from self.generate_audio_stream_from_tokens(
                 model_state, self._encode_text(chunk), effective, noise_source,
                 write_back=not copy_state, warm_start=i > 0,
-                seed=None if seed is None else seed + i,
+                seed=None if seed is None else
+                int(np.random.SeedSequence([seed, i]).generate_state(1)[0]),
             )
 
     def generate_audio_stream_from_tokens(
@@ -820,11 +823,22 @@ class TTSModel:
                 jax.device_get, [(e, a) for _, e, a in entries])
             pending.append((entries, fut))
 
+        # Outstanding-fetch depth bound: without it the host would enqueue
+        # every block up to max_gen_len within one fetch round trip (async
+        # dispatch never blocks), so an early EOS could no longer limit wasted
+        # device compute and — with write_back — would inflate the slot
+        # watermark by the full dispatched length, pushing continued chunks
+        # into larger capacity buckets. Waiting on the oldest fetch once more
+        # than MAX_PENDING_FETCHES groups are in flight keeps dispatch within
+        # ~2 fetch groups of the EOS discovery point.
+        MAX_PENDING_FETCHES = 2
+
         def resolve(block: bool) -> bool:
             """Emit results of completed fetches, oldest first; with
             block=True wait for every outstanding fetch. Returns False when
             generation must stop."""
-            while pending and (block or pending[0][1].done()):
+            while pending and (block or pending[0][1].done()
+                               or len(pending) > MAX_PENDING_FETCHES):
                 entries, fut = pending.popleft()
                 for (start, _, _), (flags, audio) in zip(entries, fut.result()):
                     if not emit(start, flags, audio):
@@ -898,8 +912,9 @@ class TTSModel:
                 yield_frames.clear()
         finally:
             # abandoned generators (client disconnect) must not leak the
-            # fetch thread; queued device_gets just drain and discard
-            fetch_pool.shutdown(wait=False)
+            # fetch thread; cancel queued device_gets nobody will read so a
+            # hung tunnel fetch can't block interpreter shutdown
+            fetch_pool.shutdown(wait=False, cancel_futures=True)
         if eos_step is None and frames_started >= max_gen_len:
             # strict switch (reference tts_model.py:770-775; the reference reads
             # a misspelled `KPOCKET_...` name, making its own switch dead — we
@@ -1017,16 +1032,36 @@ class TTSModel:
         prev_latent = jnp.zeros((B, ldim), jnp.float32)
         eos_step = np.full((B,), -1, np.int64)
         end_step = np.full((B,), max_gen_len, np.int64)
-        frames: list[np.ndarray] = []   # per step: [B, 1, 1920] (device arrays)
-        eos_flags: list[np.ndarray] = []  # per step: [B]
+        # per dispatched block: (start step, eos [K,B], audio [K,B,1,1920]) —
+        # whole-block device arrays, async-copied once each; slicing into
+        # per-frame views happens host-side after the fused device_get (2K
+        # separate small transfers per block regress on a tunneled device
+        # where per-transfer cost dominates)
+        blocks: list[tuple[int, Any, Any]] = []
         start_slots = slots_used + pad_to
+
+        def _fold_flags(block_list) -> bool:
+            """Fold a batch of fetched EOS blocks into the per-row cut state;
+            returns True when every row is finished."""
+            host_eos = jax.device_get([eb for _, eb, _ in block_list])
+            for (bstart, _, _), hf in zip(block_list, host_eos):
+                hf = np.asarray(hf)
+                for i in range(hf.shape[0]):
+                    s = bstart + i
+                    if s >= max_gen_len:
+                        break
+                    self._update_row_cuts(hf[i], s, eos_step, end_step,
+                                          frames_after_eos)
+                    if all(end_step <= s):
+                        return True
+            return False
 
         # Multi-frame scan blocks, one dispatch per SCAN_BLOCK_FRAMES frames
         # (same shape as the streaming path): a single-frame dispatch at b32
         # costs a full host->device round trip per 80 ms frame across all rows,
         # which dominated the b32 bench. Flags resolve one block behind so the
         # newest block stays speculatively in flight.
-        resolved = 0  # steps whose EOS flags have been folded into end_step
+        resolved_blocks = 0  # blocks whose EOS flags are folded into end_step
         step = 0
         done = False
         while step < max_gen_len and not done:
@@ -1045,43 +1080,25 @@ class TTSModel:
                     self.params, self.mimi_params, lm_state, mimi_state,
                     prev_latent, is_bos, noise,
                 )
-                frames.append(audio)
-                eos_flags.append(eos)
-                _host_async(eos, audio)
+                eos, audio = eos[None], audio[None]  # [1,B], [1,B,1,1920]
             else:
                 latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(
                     K, device_noise=device_noise)(
                     self.params, self.mimi_params, lm_state, mimi_state,
                     prev_latent, is_bos, noise,
                 )
-                for i in range(K):  # eager slices; no device sync here
-                    frames.append(audio[i])
-                    eos_flags.append(eos[i])
-                _host_async(*frames[-K:], *eos_flags[-K:])
                 latent = latent[-1]
+            _host_async(eos, audio)
+            blocks.append((step, eos, audio))
             prev_latent = latent
             step += K
-            # resolve every fully-dispatched step except the newest block's;
-            # ONE fused fetch per dispatch (per-step fetches each pay a full
-            # round trip over a tunneled device)
-            upto = min(step - K, max_gen_len)
-            if upto > resolved:
-                host_flags = jax.device_get(
-                    [eos_flags[s] for s in range(resolved, upto)])
-                for s, hf in zip(range(resolved, upto), host_flags):
-                    self._update_row_cuts(hf, s, eos_step, end_step,
-                                          frames_after_eos)
-                    resolved = s + 1
-                    if all(end_step <= s):
-                        done = True
-                        break
-        upto = min(len(frames), max_gen_len)
-        if upto > resolved:
-            host_flags = jax.device_get(
-                [eos_flags[s] for s in range(resolved, upto)])
-            for s, hf in zip(range(resolved, upto), host_flags):
-                self._update_row_cuts(hf, s, eos_step, end_step,
-                                      frames_after_eos)
+            # resolve every fully-dispatched block except the newest (kept
+            # speculatively in flight); ONE fused fetch per resolution batch
+            if len(blocks) - 1 > resolved_blocks:
+                done = _fold_flags(blocks[resolved_blocks:-1])
+                resolved_blocks = len(blocks) - 1
+        if resolved_blocks < len(blocks):
+            _fold_flags(blocks[resolved_blocks:])
 
         if (eos_step < 0).any():
             rows = np.nonzero(eos_step < 0)[0].tolist()
@@ -1094,12 +1111,15 @@ class TTSModel:
                 "this very often indicates an error.", rows,
             )
 
-        frames = jax.device_get(frames)  # one fused fetch of all audio blocks
-        stacked = np.stack([np.asarray(f)[:, 0, :] for f in frames], axis=1)  # [B,S,1920]
+        # one fused fetch of all audio blocks; per-frame slicing host-side
+        host_audio = jax.device_get([ab for _, _, ab in blocks])
+        stacked = np.concatenate(
+            [np.asarray(a)[:, :, 0, :] for a in host_audio], axis=0
+        )  # [S, B, 1920]
         out = []
         for b in range(B):
-            n = min(int(end_step[b]), stacked.shape[1])
-            out.append(stacked[b, :n].reshape(-1))
+            n = min(int(end_step[b]), stacked.shape[0])
+            out.append(stacked[:n, b].reshape(-1))
         return out
 
     def generate_audio_batch_from_texts(
