@@ -198,6 +198,110 @@ class NoiseSource:
         ).astype(np.float32)
 
 
+# Outstanding-fetch depth bound: without it the host would enqueue every block
+# up to max_gen_len within one fetch round trip (async dispatch never blocks),
+# so an early EOS could no longer limit wasted device compute and — with
+# write_back — would inflate the slot watermark by the full dispatched length,
+# pushing continued chunks into larger capacity buckets. Waiting on the oldest
+# fetch once more than this many groups are in flight keeps dispatch within
+# ~2 fetch groups of the EOS discovery point.
+MAX_PENDING_FETCHES = 2
+
+
+class _ChunkEmit:
+    """Per-chunk emission accounting (reference semantics, tts_model.py:756-764).
+
+    One instance per sentence chunk of a pipelined stream: fetched blocks
+    resolve through `emit` in dispatch order; `finish` fires once every fetch
+    of the chunk has resolved (the no-EOS warning/strict-raise point, which in
+    a pipelined stream can land while a later chunk is already dispatching).
+    """
+
+    def __init__(self, max_gen_len: int, frames_after_eos: int):
+        self.max_gen_len = max_gen_len
+        self.frames_after_eos = frames_after_eos
+        self.eos_step: int | None = None
+        self.emitted = 0
+        self.stop = False
+        self.stop_step: int | None = None  # first frame NOT executed by the reference loop
+        self.dispatch_done = False
+        self.frames_started = 0
+        self.outstanding = 0  # fetch groups submitted but not yet resolved
+
+    def emit(self, block_start: int, flags, audio, out: list) -> None:
+        if self.stop:
+            return
+        flags = np.asarray(flags)  # [K, B] or [B]
+        audio = np.asarray(audio)
+        K = flags.shape[0] if flags.ndim == 2 else 1
+        for i in range(K):
+            s = block_start + i
+            if s >= self.max_gen_len:
+                break
+            flag = bool(flags[i, 0] if flags.ndim == 2 else flags[0])
+            if flag and self.eos_step is None:
+                self.eos_step = s
+            if self.eos_step is not None and s >= self.eos_step + self.frames_after_eos:
+                self.stop = True
+                self.stop_step = s + 1  # the break step is still executed
+                return
+            self.emitted += 1
+            out.append(audio[i, 0, 0] if audio.ndim == 4 else audio[0, 0])
+
+    def finish(self) -> None:
+        """All flags resolved: apply the reference's no-EOS contract
+        (tts_model.py:770-775; the reference reads a misspelled `KPOCKET_...`
+        name, making its own switch dead — we honor the name its tests
+        actually set, conftest.py:3)."""
+        if self.eos_step is None and self.frames_started >= self.max_gen_len:
+            if os.environ.get("POCKET_TTS_ERROR_WITHOUT_EOS", "0") == "1":
+                raise RuntimeError("Generation reached maximum length without EOS!")
+            logger.warning(
+                "Maximum generation length reached without EOS; "
+                "this very often indicates an error."
+            )
+
+
+class _FetchPipe:
+    """Single background fetch thread shared by EVERY chunk of one stream.
+
+    Fetch groups from successive chunks queue FIFO, so frames resolve and
+    emit in global order while chunk N+1's dispatches overlap chunk N's
+    outstanding round trips — the cross-chunk pipelining that removes the
+    per-chunk blocking drain (~1-3 tunnel RTTs per sentence chunk)."""
+
+    def __init__(self):
+        self.pool = ThreadPoolExecutor(max_workers=1)
+        self.pending: deque = deque()  # (run, entries, Future)
+
+    def submit(self, run: _ChunkEmit, entries: list) -> None:
+        run.outstanding += 1
+        fut = self.pool.submit(jax.device_get, [(e, a) for _, e, a in entries])
+        self.pending.append((run, entries, fut))
+
+    def resolve(self, out: list, block: bool = False,
+                max_pending: int | None = None) -> None:
+        """Emit results of completed fetches, oldest first. `block=True` waits
+        for every outstanding fetch; `max_pending` waits on the oldest fetch
+        whenever more than that many groups are outstanding."""
+        while self.pending and (
+            block or self.pending[0][2].done()
+            or (max_pending is not None and len(self.pending) > max_pending)
+        ):
+            run, entries, fut = self.pending.popleft()
+            for (start, _, _), (flags, audio) in zip(entries, fut.result()):
+                run.emit(start, flags, audio, out)
+            run.outstanding -= 1
+            if run.dispatch_done and run.outstanding == 0:
+                run.finish()
+
+    def shutdown(self) -> None:
+        # abandoned generators (client disconnect) must not leak the fetch
+        # thread; cancel queued device_gets nobody will read so a hung tunnel
+        # fetch can't block interpreter shutdown
+        self.pool.shutdown(wait=False, cancel_futures=True)
+
+
 class TTSModel:
     """End-to-end streaming TTS on TPU: text -> 24 kHz waveform chunks."""
 
@@ -682,12 +786,16 @@ class TTSModel:
     ) -> Iterator[np.ndarray]:
         """Yield [samples] float32 chunks (80 ms each) as they are decoded.
 
-        Long text is split into sentence chunks. With `copy_state=True`
-        (default) every chunk generates against the unmodified voice state,
-        which bounds KV growth structurally. With `copy_state=False` the
-        passed state is modified in place, each chunk continuing from the
-        previous one's end — the reference's accumulate semantics
-        (tts_model.py:637-638).
+        Long text is split into sentence chunks; chunks are PIPELINED: chunk
+        N+1's prompt and decode blocks dispatch while chunk N's fetches are
+        still in flight (the state handoff is computed on device — see
+        `_finalize_fn` — so it needs no host round trip), removing the 1-3
+        fetch RTTs a per-chunk blocking drain would cost. With
+        `copy_state=True` (default) every chunk generates against the
+        unmodified voice state, which bounds KV growth structurally. With
+        `copy_state=False` the passed state is modified in place, each chunk
+        continuing from the previous one's end — the reference's accumulate
+        semantics (tts_model.py:637-638).
         """
         if frames_after_eos is None:
             frames_after_eos = self.model_recommended_frames_after_eos
@@ -701,17 +809,22 @@ class TTSModel:
         # through SeedSequence([seed, i]) so chunk N is deterministic given
         # (seed, N) while adjacent caller seeds give statistically independent
         # streams (seed+i would alias seed=5/chunk 1 with seed=6/chunk 0).
+        specs = []
         for i, chunk in enumerate(chunks):
             _, guess = prepare_text_prompt(
                 chunk, self.pad_with_spaces_for_short_inputs, self.remove_semicolons
             )
             effective = frames_after_eos if frames_after_eos is not None else guess + 2
-            yield from self.generate_audio_stream_from_tokens(
-                model_state, self._encode_text(chunk), effective, noise_source,
-                write_back=not copy_state, warm_start=i > 0,
+            specs.append(dict(
+                tokens=self._encode_text(chunk),
+                frames_after_eos=effective,
+                warm_start=i > 0,
                 seed=None if seed is None else
                 int(np.random.SeedSequence([seed, i]).generate_state(1)[0]),
-            )
+            ))
+        yield from self._run_chunks(
+            model_state, specs, noise_source, write_back=not copy_state
+        )
 
     def generate_audio_stream_from_tokens(
         self,
@@ -728,21 +841,119 @@ class TTSModel:
         the reference AR loop exactly (tts_model.py:744-779).
 
         `write_back=True` reproduces the reference's `copy_state=False`
-        contract: once the generator is drained, `model_state`'s fields are
-        replaced with the post-generation state, its offset advanced by
-        token_count + the number of AR steps the reference loop would have
-        executed (every generated frame incl. the final break step,
-        tts_model.py:744-764). Speculatively decoded frames beyond that point
-        sit past the offset watermark and are never attended.
+        contract: `model_state`'s fields are replaced with the post-generation
+        state, its offset advanced by token_count + the number of AR steps the
+        reference loop would have executed (every generated frame incl. the
+        final break step, tts_model.py:744-764). Speculatively decoded frames
+        beyond that point sit past the offset watermark and are never attended.
+        The trim is computed ON DEVICE from the block EOS flags (`_finalize_fn`)
+        so a continued chunk can start before this chunk's audio arrives.
 
         `warm_start=True` (chunks after the first in a long text): skip the
         single-frame latency ramp — the listener already has buffered audio,
         so per-chunk overhead matters more than first-frame latency.
         """
+        spec = dict(tokens=tokens, frames_after_eos=frames_after_eos,
+                    warm_start=warm_start, seed=seed, max_gen_len=max_gen_len)
+        yield from self._run_chunks(
+            model_state, [spec], noise_source, write_back=write_back
+        )
+
+    def _finalize_fn(self):
+        """Device-side post-generation state trim — the key to cross-chunk
+        pipelining: the reference's stop point (first EOS + frames_after_eos
+        + the break step, capped at max_gen_len) is recomputed from the block
+        EOS flags ON DEVICE, so the continued chunk's prompt can be dispatched
+        immediately after this chunk's last block, without waiting for any
+        EOS flag to reach the host. Numerically identical to the host trim:
+        slots at positions >= the stop offset get pos = -1 and are never
+        attended (reference contract tts_model.py:744-764)."""
+
+        def run(lm_state, orig_offset, token_count, fae, max_gen, *eos_blocks):
+            fl = [b if b.ndim == 2 else b[None] for b in eos_blocks]
+            flags = jnp.concatenate(fl, axis=0).astype(jnp.int32)  # [S, B]
+            S = flags.shape[0]
+            step_ix = jnp.arange(S, dtype=jnp.int32)[:, None]
+            flags = jnp.where(step_ix < max_gen, flags, 0)  # host emit ignores s >= max
+            latched = jnp.cumsum(flags, axis=0) > 0
+            has_eos = latched[-1]
+            eos_step = jnp.argmax(latched, axis=0).astype(jnp.int32)
+            stop = jnp.where(
+                has_eos, jnp.minimum(eos_step + fae + 1, max_gen), max_gen
+            )
+            final_offset = (orig_offset + token_count + stop).astype(jnp.int32)
+            pos = jnp.where(lm_state.pos < final_offset[:, None], lm_state.pos, -1)
+            return StackState(k=lm_state.k, v=lm_state.v, pos=pos,
+                              offset=final_offset, write_pos=lm_state.write_pos)
+
+        return self._jit("finalize", lambda: jax.jit(run, donate_argnums=(0,)))
+
+    def _run_chunks(
+        self,
+        model_state: StackState,
+        chunk_specs: list[dict],
+        noise_source: Callable | None,
+        write_back: bool,
+    ) -> Iterator[np.ndarray]:
+        """Pipelined chunk driver: dispatch chunk i+1 while chunk i's fetches
+        are outstanding; one shared FIFO fetch pipe keeps emission in global
+        frame order. With write_back the inter-chunk state handoff runs on
+        device (`_finalize_fn`), so no host round trip separates chunks; the
+        final blocking drain happens once, after the LAST chunk's dispatches."""
         t_start = time.monotonic()
+        pipe = _FetchPipe()
+        out: list[np.ndarray] = []
+        runs: list[_ChunkEmit] = []
+        try:
+            for spec in chunk_specs:
+                run, lm_state, eos_blocks, info = yield from self._dispatch_chunk(
+                    model_state, spec, noise_source, pipe, out
+                )
+                runs.append(run)
+                if write_back:
+                    token_count, pad_to, orig_offset, slots_used = info
+                    new_state = self._finalize_fn()(
+                        lm_state, orig_offset,
+                        jnp.asarray(token_count, jnp.int32),
+                        jnp.asarray(run.frames_after_eos, jnp.int32),
+                        jnp.asarray(run.max_gen_len, jnp.int32),
+                        *eos_blocks,
+                    )
+                    model_state.k = new_state.k
+                    model_state.v = new_state.v
+                    model_state.pos = new_state.pos
+                    model_state.offset = new_state.offset
+                    model_state.write_pos = new_state.write_pos
+                    # host mirror (slots advanced by pad_to + every dispatched
+                    # frame — all host-known; no device fetch)
+                    model_state._slots_used = (
+                        slots_used + pad_to + run.frames_started)
+            pipe.resolve(out, block=True)
+            while out:
+                yield out.pop(0)
+        finally:
+            pipe.shutdown()
+        emitted = sum(r.emitted for r in runs)
+        dur_ms = emitted * self.samples_per_frame * 1000 / self.sample_rate
+        wall_ms = (time.monotonic() - t_start) * 1000
+        logger.info(
+            "Generated %d ms of audio in %d ms (%.2fx real-time)",
+            int(dur_ms), int(wall_ms), dur_ms / max(wall_ms, 1e-6),
+        )
+
+    def _dispatch_chunk(self, model_state, spec, noise_source, pipe, out):
+        """Dispatch one chunk: text prompt + speculative decode blocks.
+
+        Yields frames as earlier fetches (possibly of PREVIOUS chunks) resolve;
+        returns (run, lm_state, eos_blocks, (token_count, pad_to, orig_offset,
+        slots_used)) for the caller's device-side finalize. Never drains: the
+        remaining fetches stay queued on the shared pipe.
+        """
+        tokens = spec["tokens"]
         token_count = len(tokens)
-        if max_gen_len is None:
-            max_gen_len = self._estimate_max_gen_len(token_count)
+        max_gen_len = spec.get("max_gen_len") or self._estimate_max_gen_len(token_count)
+        warm_start = spec.get("warm_start", False)
+        seed = spec.get("seed")
         orig_offset = model_state.offset
         # capacity is measured in SLOTS (write_pos): prompts append their full
         # padded bucket, so account for pad_to rather than token_count. The
@@ -752,9 +963,9 @@ class TTSModel:
         # silently overwrites the last real slot's K/V/pos when `required`
         # lands within a block of a bucket boundary.
         # The slot watermark is host-mirrored on the state holder (_slots_used,
-        # maintained by write_back below): slots advance by host-known amounts
-        # only, and fetching the device scalar costs a tunnel round trip per
-        # chunk — the dominant per-chunk overhead term.
+        # maintained by the caller's write_back): slots advance by host-known
+        # amounts only, and fetching the device scalar costs a tunnel round
+        # trip per chunk — the dominant per-chunk overhead term.
         slots_used = getattr(model_state, "_slots_used", None)
         if slots_used is None:
             slots_used = int(np.asarray(model_state.write_pos))
@@ -779,172 +990,81 @@ class TTSModel:
             base_key = jax.random.PRNGKey(
                 seed if seed is not None else _fresh_seed())
 
-        # Low-latency single steps for the first frames, then K-frame scan blocks
-        # (one dispatch per block amortizes the host->device round trip). One
-        # block stays speculatively in flight so the device never idles on the
-        # host-side EOS check; fetches run on a single background thread so
-        # their round-trip latency overlaps the next blocks' dispatch/compute
-        # instead of serializing with it.
+        # Low-latency single steps for the first frames, then K-frame scan
+        # blocks (one dispatch per block amortizes the host->device round
+        # trip). Blocks stay speculatively in flight so the device never idles
+        # on the host-side EOS check; fetches run on the stream's shared
+        # background thread so their round-trip latency overlaps the next
+        # blocks' dispatch/compute instead of serializing with it.
+        run = _ChunkEmit(max_gen_len, spec["frames_after_eos"])
         inflight: deque = deque()
-        pending: deque = deque()  # (entries, Future) submitted to the fetcher
-        fetch_pool = ThreadPoolExecutor(max_workers=1)
-        eos_step = None
-        emitted = 0
-        stop = False
-        stop_step = None  # first frame index NOT executed by the reference loop
-        frames_started = 0
-
-        def emit(block_start, flags, audio):
-            """Apply reference emission semantics (tts_model.py:756-764) to a
-            block (host-fetched flags/audio); returns False when generation
-            must stop."""
-            nonlocal eos_step, emitted, stop, stop_step
-            flags = np.asarray(flags)  # [K, B] or [B]
-            audio = np.asarray(audio)
-            K = flags.shape[0] if flags.ndim == 2 else 1
-            for i in range(K):
-                s = block_start + i
-                if s >= max_gen_len:
-                    break
-                flag = bool(flags[i, 0] if flags.ndim == 2 else flags[0])
-                if flag and eos_step is None:
-                    eos_step = s
-                if eos_step is not None and s >= eos_step + frames_after_eos:
-                    stop = True
-                    stop_step = s + 1  # the break step is still executed
-                    return False
-                emitted += 1
-                yield_frames.append(audio[i, 0, 0] if audio.ndim == 4 else audio[0, 0])
-            return True
-
-        def submit(n: int) -> None:
-            entries = [inflight.popleft() for _ in range(n)]
-            fut = fetch_pool.submit(
-                jax.device_get, [(e, a) for _, e, a in entries])
-            pending.append((entries, fut))
-
-        # Outstanding-fetch depth bound: without it the host would enqueue
-        # every block up to max_gen_len within one fetch round trip (async
-        # dispatch never blocks), so an early EOS could no longer limit wasted
-        # device compute and — with write_back — would inflate the slot
-        # watermark by the full dispatched length, pushing continued chunks
-        # into larger capacity buckets. Waiting on the oldest fetch once more
-        # than MAX_PENDING_FETCHES groups are in flight keeps dispatch within
-        # ~2 fetch groups of the EOS discovery point.
-        MAX_PENDING_FETCHES = 2
-
-        def resolve(block: bool) -> bool:
-            """Emit results of completed fetches, oldest first; with
-            block=True wait for every outstanding fetch. Returns False when
-            generation must stop."""
-            while pending and (block or pending[0][1].done()
-                               or len(pending) > MAX_PENDING_FETCHES):
-                entries, fut = pending.popleft()
-                for (start, _, _), (flags, audio) in zip(entries, fut.result()):
-                    if not emit(start, flags, audio):
-                        return False
-            return True
-
+        eos_blocks: list = []
         start_slots = slots_used + pad_to  # slot watermark after the text prompt
-        yield_frames: list[np.ndarray] = []
-        try:
-            while frames_started < max_gen_len and not stop:
-                K = _block_size(frames_started, warm=warm_start)
-                if self.cache_growth:
-                    lm_state = self._ensure_capacity(
-                        lm_state, start_slots + frames_started + K
-                    )
-                if device_noise:
-                    noise = jax.random.fold_in(base_key, frames_started)
-                else:
-                    noise = jnp.asarray(
-                        noise_source((B, ldim) if K == 1 else (K, B, ldim)))
-                if K == 1:
-                    latent, eos, audio, lm_state, mimi_state = self._fused_step_fn(
-                        device_noise=device_noise)(
-                        self.params, self.mimi_params, lm_state, mimi_state,
-                        prev_latent, is_bos, noise,
-                    )
-                else:
-                    latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(
-                        K, device_noise=device_noise)(
-                        self.params, self.mimi_params, lm_state, mimi_state,
-                        prev_latent, is_bos, noise,
-                    )
-                    latent = latent[-1]
-                prev_latent = latent
-                is_bos = jnp.zeros((B,), bool)
-                _host_async(eos, audio)
-                inflight.append((frames_started, eos, audio))
-                frames_started += K
-                # Fetch-group schedule. Measured on the tunneled chip (see
-                # STATUS.md long-text section): with async dispatch the b1 device
-                # is <35% busy, so wall time for a warmed stream is almost
-                # entirely fetch-count x round-trip (~40-90 ms each) — the group
-                # depth IS the sustained-RTF knob. The cold ramp keeps group 1
-                # only while the listener has <~1 s buffered; warm chunks go
-                # straight to the deepest group (their chunk-end drain is one
-                # more fetch, so a ~5-block chunk pays ~1-2 round trips total).
-                if warm_start:
-                    group = 8
-                elif frames_started <= FIRST_BLOCK_FRAMES + SCAN_BLOCK_FRAMES:
-                    group = 1
-                elif frames_started <= RAMP_FRAMES:
-                    group = 2
-                elif frames_started <= 4 * MAX_BLOCK_FRAMES:
-                    group = 4
-                else:
-                    group = 8
-                if len(inflight) > group:
-                    submit(group)
-                ok = resolve(block=False)
-                for f in yield_frames:
-                    yield f
-                yield_frames.clear()
-                if not ok:
-                    break
-            if not stop:
-                if inflight:
-                    submit(len(inflight))
-                resolve(block=True)
-                for f in yield_frames:
-                    yield f
-                yield_frames.clear()
-        finally:
-            # abandoned generators (client disconnect) must not leak the
-            # fetch thread; cancel queued device_gets nobody will read so a
-            # hung tunnel fetch can't block interpreter shutdown
-            fetch_pool.shutdown(wait=False, cancel_futures=True)
-        if eos_step is None and frames_started >= max_gen_len:
-            # strict switch (reference tts_model.py:770-775; the reference reads
-            # a misspelled `KPOCKET_...` name, making its own switch dead — we
-            # honor the name its tests actually set, conftest.py:3)
-            if os.environ.get("POCKET_TTS_ERROR_WITHOUT_EOS", "0") == "1":
-                raise RuntimeError("Generation reached maximum length without EOS!")
-            logger.warning(
-                "Maximum generation length reached without EOS; "
-                "this very often indicates an error."
-            )
-        if write_back:
-            final_steps = min(stop_step or max_gen_len, max_gen_len)
-            final_offset = orig_offset + token_count + final_steps
-            model_state.k = lm_state.k
-            model_state.v = lm_state.v
-            # invalidate speculatively decoded slots past the reference's stop
-            # point so continued chunks never attend them
-            model_state.pos = jnp.where(
-                lm_state.pos < final_offset[:, None], lm_state.pos, -1
-            )
-            model_state.offset = final_offset
-            model_state.write_pos = lm_state.write_pos
-            # host mirror (slots advanced by pad_to + every dispatched frame)
-            model_state._slots_used = slots_used + pad_to + frames_started
-        dur_ms = emitted * self.samples_per_frame * 1000 / self.sample_rate
-        wall_ms = (time.monotonic() - t_start) * 1000
-        logger.info(
-            "Generated %d ms of audio in %d ms (%.2fx real-time)",
-            int(dur_ms), int(wall_ms), dur_ms / max(wall_ms, 1e-6),
-        )
+        frames_started = 0
+        while frames_started < max_gen_len and not run.stop:
+            K = _block_size(frames_started, warm=warm_start)
+            if self.cache_growth:
+                lm_state = self._ensure_capacity(
+                    lm_state, start_slots + frames_started + K
+                )
+            if device_noise:
+                noise = jax.random.fold_in(base_key, frames_started)
+            else:
+                noise = jnp.asarray(
+                    noise_source((B, ldim) if K == 1 else (K, B, ldim)))
+            if K == 1:
+                latent, eos, audio, lm_state, mimi_state = self._fused_step_fn(
+                    device_noise=device_noise)(
+                    self.params, self.mimi_params, lm_state, mimi_state,
+                    prev_latent, is_bos, noise,
+                )
+            else:
+                latent, eos, audio, lm_state, mimi_state = self._multi_step_fn(
+                    K, device_noise=device_noise)(
+                    self.params, self.mimi_params, lm_state, mimi_state,
+                    prev_latent, is_bos, noise,
+                )
+                latent = latent[-1]
+            prev_latent = latent
+            is_bos = jnp.zeros((B,), bool)
+            _host_async(eos, audio)
+            inflight.append((frames_started, eos, audio))
+            eos_blocks.append(eos)
+            frames_started += K
+            # Fetch-group schedule. Measured on the tunneled chip (see
+            # STATUS.md long-text section): with async dispatch the b1 device
+            # is <35% busy, so wall time for a warmed stream is almost
+            # entirely fetch-count x round-trip (~40-90 ms each) — the group
+            # depth IS the sustained-RTF knob. The cold ramp keeps group 1
+            # only while the listener has <~1 s buffered; warm chunks go
+            # straight to the deepest group (their remaining fetches overlap
+            # the NEXT chunk's dispatches on the shared pipe).
+            if warm_start:
+                group = 8
+            elif frames_started <= FIRST_BLOCK_FRAMES + SCAN_BLOCK_FRAMES:
+                group = 1
+            elif frames_started <= RAMP_FRAMES:
+                group = 2
+            elif frames_started <= 4 * MAX_BLOCK_FRAMES:
+                group = 4
+            else:
+                group = 8
+            if len(inflight) > group:
+                pipe.submit(run, [inflight.popleft() for _ in range(group)])
+            pipe.resolve(out, block=False, max_pending=MAX_PENDING_FETCHES)
+            while out:
+                yield out.pop(0)
+        if inflight and not run.stop:
+            # stop=True means frames past the cut were dispatched but their
+            # audio is never emitted — don't pay fetch round trips for them
+            pipe.submit(run, list(inflight))
+        inflight.clear()
+        run.frames_started = frames_started
+        run.dispatch_done = True
+        if run.outstanding == 0:
+            run.finish()
+        return run, lm_state, eos_blocks, (token_count, pad_to, orig_offset,
+                                           slots_used)
 
     def _prompt_text_tokens(self, lm_state: StackState, tokens: list[int]) -> StackState:
         B = lm_state.offset.shape[0]
