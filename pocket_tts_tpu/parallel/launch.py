@@ -104,14 +104,22 @@ def run_worker(args) -> dict:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
-    # fault injection for the recovery test: worker 1 dies once, before
-    # joining the job, leaving a marker so the retry attempt proceeds
-    if args.fail_once_marker and args.process_id == 1:
-        marker = args.fail_once_marker
-        if not os.path.exists(marker):
-            with open(marker, "w") as f:
+    # fault injection for the recovery tests: worker 1 dies once, leaving a
+    # marker so the retry attempt proceeds. fail_point "init" dies before
+    # joining the job; "after_decode" dies after every worker has decoded AND
+    # saved its rows (post-barrier), deleting its own saved rows first — so
+    # the relaunch demonstrably re-decodes ONLY those rows.
+    def _maybe_crash(point: str, cleanup=None):
+        if (args.fail_once_marker and args.process_id == 1
+                and args.fail_point == point
+                and not os.path.exists(args.fail_once_marker)):
+            if cleanup is not None:
+                cleanup()
+            with open(args.fail_once_marker, "w") as f:
                 f.write("crashed")
-            raise RuntimeError("injected worker failure (fail-once marker)")
+            raise RuntimeError(f"injected worker failure ({point})")
+
+    _maybe_crash("init")
 
     from pocket_tts_tpu.parallel.multihost import (
         assert_mesh_healthy,
@@ -156,29 +164,65 @@ def run_worker(args) -> dict:
     rows = slice(pid * local, (pid + 1) * local)
     rng = np.random.default_rng(1000 + args.seed)  # same voices everywhere
     voice_wavs = (rng.standard_normal((B, 1, 1, 3000)) * 0.1).astype(np.float32)
-    states = [model.state_for_audio_array(voice_wavs[i]) for i in
-              range(rows.start, rows.stop)]
-    token_lists = [token_batch[i].tolist() for i in range(rows.start, rows.stop)]
 
-    # per-GLOBAL-row noise streams: the audio is then invariant to how many
-    # processes the batch is sharded over (tested: 1-proc == 2-proc)
-    row_noise = [NoiseSource(model.gen, seed=args.seed + 7919 * (rows.start + i))
-                 for i in range(local)]
+    # Row-level recovery: with --results-dir, every decoded GLOBAL row is
+    # persisted as row_{g}.npy; a job relaunch after a worker failure loads
+    # the survivors and re-decodes ONLY the missing rows (per-global-row
+    # noise streams make cached and re-decoded rows bit-identical).
+    def _row_path(g: int) -> str:
+        return os.path.join(args.results_dir, f"row_{g}.npy")
 
-    def batch_noise(shape):
-        if len(shape) == 3:  # scan block [K, B, L]: row streams advance per step
-            K, Bl, L = shape
-            return np.stack(
-                [np.stack([row_noise[b]((L,)) for b in range(Bl)]) for _ in range(K)]
-            )
-        Bl, L = shape
-        return np.stack([row_noise[b]((L,)) for b in range(Bl)])
+    audio_rows: dict[int, np.ndarray] = {}
+    missing = list(range(local))
+    if args.results_dir:
+        os.makedirs(args.results_dir, exist_ok=True)
+        missing = []
+        for i in range(local):
+            try:
+                audio_rows[i] = np.load(_row_path(rows.start + i))
+            except Exception:
+                missing.append(i)
 
     t0 = time.monotonic()
-    audio = model.generate_audio_batch(
-        states, token_lists, frames_after_eos=2, noise_source=batch_noise,
-    )
+    if missing:
+        states = [model.state_for_audio_array(voice_wavs[rows.start + i])
+                  for i in missing]
+        token_lists = [token_batch[rows.start + i].tolist() for i in missing]
+
+        # per-GLOBAL-row noise streams: the audio is then invariant to how
+        # many processes the batch is sharded over (tested: 1-proc == N-proc)
+        row_noise = [NoiseSource(model.gen, seed=args.seed + 7919 * (rows.start + i))
+                     for i in missing]
+
+        def batch_noise(shape):
+            if len(shape) == 3:  # scan block [K, B, L]: row streams advance per step
+                K, Bl, L = shape
+                return np.stack(
+                    [np.stack([row_noise[b]((L,)) for b in range(Bl)])
+                     for _ in range(K)]
+                )
+            Bl, L = shape
+            return np.stack([row_noise[b]((L,)) for b in range(Bl)])
+
+        decoded = model.generate_audio_batch(
+            states, token_lists, frames_after_eos=2, noise_source=batch_noise,
+        )
+        for i, a in zip(missing, decoded):
+            audio_rows[i] = a
+            if args.results_dir:
+                np.save(_row_path(rows.start + i), a)
     decode_s = time.monotonic() - t0
+    audio = [audio_rows[i] for i in range(local)]
+
+    # barrier: every worker's rows are decoded AND persisted before anyone
+    # proceeds to the gather (also where the deterministic fault injection
+    # for the row-recovery test lands — see _maybe_crash)
+    multihost_utils.sync_global_devices("rows_persisted")
+    _maybe_crash("after_decode", cleanup=lambda: [
+        os.remove(_row_path(rows.start + i))
+        for i in range(local)
+        if args.results_dir and os.path.exists(_row_path(rows.start + i))
+    ])
 
     # ---- egress: gather every host's rows back over DCN ----
     max_len = model._estimate_max_gen_len(tok_len) * model.samples_per_frame
@@ -194,10 +238,13 @@ def run_worker(args) -> dict:
     all_audio = all_audio.reshape(B, max_len)
 
     healthy = assert_mesh_healthy(mesh)
+    rows_decoded = int(np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([len(missing)], jnp.int32))).sum())
     report = {
         "processes": n_proc,
         "audio_rows": int(B),
         "rows_per_process": int(local),
+        "rows_decoded": rows_decoded,  # this attempt (rest served from cache)
         "global_devices": len(jax.devices()),
         "row_samples": all_lengths.tolist(),
         "audio_checksum": round(float(np.abs(all_audio).sum()), 4),
@@ -245,8 +292,11 @@ def _spawn_once(args) -> dict:
             cmd_base.append("--allow-random-init")
     if args.out:
         cmd_base += ["--out", args.out]
+    if args.results_dir:
+        cmd_base += ["--results-dir", args.results_dir]
     if args.fail_once_marker:
-        cmd_base += ["--fail-once-marker", args.fail_once_marker]
+        cmd_base += ["--fail-once-marker", args.fail_once_marker,
+                     "--fail-point", args.fail_point]
 
     procs = []
     for pid in range(args.processes):
@@ -301,10 +351,16 @@ def spawn_local(args) -> dict:
     (bring-up / CI mode) and return process 0's report.
 
     Failure recovery at deployment scope (SURVEY §5): inference is stateless —
-    weights reload, voice states rebuild, the utterance batch is the retry
-    unit — so a worker dying (the jax.distributed health check then tears the
-    whole job down) is recovered by relaunching the job once and re-decoding
-    the batch. `--retries` bounds the relaunches."""
+    weights reload, voice states rebuild — so a worker dying (the
+    jax.distributed health check then tears the whole job down) is recovered
+    by relaunching the job. Recovery is ROW-level, not job-level: each
+    attempt persists every decoded row to a shared results dir, so a relaunch
+    re-decodes only the rows the failed attempt didn't finish. `--retries`
+    bounds the relaunches."""
+    if args.results_dir is None and args.retries > 0:
+        import tempfile
+
+        args.results_dir = tempfile.mkdtemp(prefix="ptts_rows_")
     last = None
     for attempt in range(args.retries + 1):
         try:
@@ -346,8 +402,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None, help="concatenated WAV (process 0)")
     p.add_argument("--timeout", type=float, default=600.0)
     p.add_argument("--retries", type=int, default=1,
-                   help="full-job relaunches after a worker failure")
+                   help="job relaunches after a worker failure (row-level: "
+                        "completed rows are cached in --results-dir)")
+    p.add_argument("--results-dir", default=None,
+                   help="shared dir persisting per-row audio across attempts "
+                        "(auto tempdir in spawn mode when retries > 0)")
     p.add_argument("--fail-once-marker", default=None,
+                   help=argparse.SUPPRESS)  # fault injection (tests)
+    p.add_argument("--fail-point", default="init",
+                   choices=("init", "after_decode"),
                    help=argparse.SUPPRESS)  # fault injection (tests)
     return p
 

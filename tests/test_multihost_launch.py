@@ -51,16 +51,13 @@ def test_two_process_dp_serving(two_proc):
     assert all(s > 0 for s in r["row_samples"])
 
 
-def test_worker_failure_recovers_by_relaunch(tmp_path):
-    """Failure recovery at deployment scope (SURVEY §5): a worker process dies
-    on the first job attempt (fault-injected); the launcher terminates the
-    peers, relaunches once — inference is stateless, so the batch simply
-    re-decodes — and the job completes with attempts=2."""
+def _launch_with_fault(tmp_path, processes, utterances, fail_point):
     marker = tmp_path / "crash.marker"
     cmd = [
         sys.executable, "-m", "pocket_tts_tpu.parallel.launch",
-        "--processes", "2", "--cpu", "2", "--tiny", "--utterances", "2",
-        "--seed", "3", "--fail-once-marker", str(marker),
+        "--processes", str(processes), "--cpu", "2", "--tiny",
+        "--utterances", str(utterances), "--seed", "3",
+        "--fail-once-marker", str(marker), "--fail-point", fail_point,
     ]
     out = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
                          timeout=540)
@@ -74,6 +71,35 @@ def test_worker_failure_recovers_by_relaunch(tmp_path):
     assert report is not None
     assert report["attempts"] == 2
     assert report["mesh_healthy"] and all(s > 0 for s in report["row_samples"])
+    return report
+
+
+def test_worker_failure_recovers_by_relaunch(tmp_path):
+    """Failure recovery at deployment scope (SURVEY §5): a worker process dies
+    on the first job attempt (fault-injected at init); the launcher terminates
+    the peers, relaunches once — inference is stateless, so the batch simply
+    re-decodes — and the job completes with attempts=2."""
+    report = _launch_with_fault(tmp_path, processes=2, utterances=2,
+                                fail_point="init")
+    # the crash happened before anyone decoded: attempt 2 decodes every row
+    assert report["rows_decoded"] == 2
+
+
+def test_row_level_recovery_four_processes(tmp_path, two_proc):
+    """Row-level recovery (N=4): worker 1 crashes AFTER every worker decoded
+    and persisted its row (post-barrier), deleting its own saved row first.
+    The relaunch must re-decode ONLY that row — the other three are served
+    from the shared results dir — and the recovered audio must be
+    bit-identical to the healthy 2-process run of the same batch."""
+    report = _launch_with_fault(tmp_path, processes=4, utterances=4,
+                                fail_point="after_decode")
+    assert report["processes"] == 4
+    assert report["rows_per_process"] == 1
+    assert report["rows_decoded"] == 1  # only the deleted row re-decodes
+    assert report["row_samples"] == two_proc["row_samples"]
+    assert report["audio_checksum"] == pytest.approx(
+        two_proc["audio_checksum"], rel=1e-5
+    )
 
 
 def test_process_sharding_is_audio_invariant(two_proc):
