@@ -170,3 +170,121 @@ def test_architecture_doc_names_real_modules():
         if not (REPO / c).exists() and not (REPO / "pocket_tts_tpu" / c).exists()
     ]
     assert not missing, f"architecture.md cites nonexistent modules: {missing}"
+
+
+# ----------------------------------------------------- quickstart / cli / api
+
+
+def _sh_lines(path: Path, prefix: str) -> list[str]:
+    """Documented shell invocations starting with `prefix`, with backslash
+    continuations joined and comments stripped."""
+    lines = []
+    for block in _code_blocks(path, "bash"):
+        joined = block.replace("\\\n", " ")
+        for line in joined.splitlines():
+            line = line.split("#")[0].strip()
+            if line.startswith(prefix):
+                lines.append(line.removeprefix(prefix).strip())
+    return lines
+
+
+def test_quickstart_python_usage_executes():
+    """The quickstart's Python block runs verbatim with offline stand-ins for
+    the two network touchpoints (checkpoint download, catalog voice)."""
+    quickstart = REPO / "docs" / "quickstart.md"
+    blocks = [b for b in _code_blocks(quickstart, "python") if "TTSModel" in b]
+    assert blocks, "quickstart lost its python usage block"
+
+    offline = build_small_tts_model()
+    rng = np.random.default_rng(0)
+    voice_wav = (rng.standard_normal((1, 1, 4000)) * 0.1).astype(np.float32)
+    offline_get_state = offline.get_state_for_audio_prompt
+    offline.get_state_for_audio_prompt = (
+        lambda *a, **kw: offline.state_for_audio_array(voice_wav))
+
+    class _OfflineTTSModel:
+        @staticmethod
+        def load_model(*a, **kw):
+            return offline
+
+    played = []
+    import pocket_tts_tpu
+
+    real_cls = pocket_tts_tpu.TTSModel
+    pocket_tts_tpu.TTSModel = _OfflineTTSModel
+    try:
+        for block in blocks:
+            ns = {"play": played.append, "__name__": "quickstart_example"}
+            exec(compile(block, "quickstart.md", "exec"), ns)
+    finally:
+        pocket_tts_tpu.TTSModel = real_cls
+        offline.get_state_for_audio_prompt = offline_get_state
+
+    assert played, "quickstart stream loop produced no chunks"
+    assert all(isinstance(c, np.ndarray) and c.dtype == np.float32
+               for c in played)
+
+
+def test_quickstart_and_cli_doc_invocations_parse():
+    """Every `python -m pocket_tts_tpu ...` line in quickstart.md and cli.md
+    must be accepted by the real argparse tree (a renamed flag or subcommand
+    fails the suite)."""
+    import shlex
+
+    from pocket_tts_tpu.api.cli import build_parser
+
+    parser = build_parser()
+    n = 0
+    for doc in ("quickstart.md", "cli.md"):
+        for line in _sh_lines(REPO / "docs" / doc, "python -m pocket_tts_tpu"):
+            if line.startswith((".", "_")):  # submodule invocations
+                continue
+            # pipelines: parse only the segment belonging to our CLI
+            line = line.split("|")[0].strip()
+            args = parser.parse_args(shlex.split(line))
+            assert args.command in ("generate", "serve", "export-voice")
+            n += 1
+    assert n >= 6, "docs lost their CLI examples"
+
+
+def test_cli_doc_covers_every_flag():
+    """cli.md must document every flag the parser actually exposes (drift in
+    EITHER direction fails: a new undocumented flag, or a documented flag
+    that no longer exists)."""
+    from pocket_tts_tpu.api.cli import build_parser
+
+    doc = (REPO / "docs" / "cli.md").read_text()
+    documented = set(re.findall(r"--[a-z][a-z0-9-]+", doc))
+    real = set()
+    parser = build_parser()
+    subparsers = next(a for a in parser._actions
+                      if isinstance(a, __import__("argparse")._SubParsersAction))
+    for p in [parser, *subparsers.choices.values()]:
+        for action in p._actions:
+            for opt in action.option_strings:
+                if opt.startswith("--"):
+                    real.add(opt)
+    real.discard("--help")
+    missing = real - documented
+    stale = documented - real
+    assert not missing, f"cli.md does not document: {sorted(missing)}"
+    assert not stale, f"cli.md documents nonexistent flags: {sorted(stale)}"
+
+
+def test_api_doc_names_real_methods():
+    """Every `model.<name>(` / property cited in api.md must exist on
+    TTSModel, and the documented package exports must be importable."""
+    import pocket_tts_tpu
+    from pocket_tts_tpu.pipeline.tts import TTSModel
+
+    doc = (REPO / "docs" / "api.md").read_text()
+    methods = set(re.findall(r"model\.([a-z_0-9]+)\(", doc))
+    methods |= set(re.findall(r"TTSModel\.([a-z_0-9]+)\(", doc))
+    assert "load_model" in methods and "generate_audio_stream" in methods
+    missing = [m for m in methods if not hasattr(TTSModel, m)]
+    assert not missing, f"api.md cites nonexistent methods: {missing}"
+    for prop in ("sample_rate", "frame_rate", "samples_per_frame", "temp",
+                 "lsd_decode_steps", "noise_clamp", "eos_threshold", "device"):
+        assert prop in doc and hasattr(TTSModel, prop)
+    assert hasattr(pocket_tts_tpu, "TTSModel")
+    assert hasattr(pocket_tts_tpu, "export_model_state")
