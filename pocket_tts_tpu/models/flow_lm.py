@@ -143,7 +143,7 @@ def decode_step(
     x = (latent @ params["input_linear"].T)[:, None, :]  # [B, 1, D]
     h, state = transformer_apply(
         specs.transformer, params["transformer"], x, state, unroll=True,
-        att_len=att_len,
+        att_len=att_len, packed=params.get("stack_packed"),
     )
     # heads always run in f32 (matches reference flow_lm.py:125 f32 cast; the
     # flow head stays f32 even when the backbone is bf16/int8)

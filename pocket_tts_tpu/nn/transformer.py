@@ -29,6 +29,11 @@ import jax.numpy as jnp
 from pocket_tts_tpu.nn.attention import decode_masks, mha_oneshot, mha_step
 from pocket_tts_tpu.nn.linear import matmul_t
 from pocket_tts_tpu.nn.rope import rope_tables
+from pocket_tts_tpu.ops.decode_stack import (
+    decode_stack_apply,
+    stack_supported,
+    use_decode_stack,
+)
 from pocket_tts_tpu.ops.flash_decode import (
     flash_decode_supported,
     use_flash_decode,
@@ -258,6 +263,7 @@ def transformer_apply(
     increment: jnp.ndarray | int | None = None,
     unroll: int | bool = False,
     att_len: int | None = None,
+    packed: Any | None = None,
 ) -> tuple[jnp.ndarray, StackState]:
     """Run the full stack on x: [B, T, D], then append every layer's new K/V.
 
@@ -270,10 +276,23 @@ def transformer_apply(
     `unroll`: lax.scan unroll factor over layers — True for decode steps (lets
     XLA overlap the many small per-layer ops), False for prompt/one-shot passes
     (smaller compile).
+    `packed`: pack_decode_stack bundle — routes the T=1 b1 decode body to the
+    fused whole-stack Pallas kernel (ops/decode_stack.py) when supported; the
+    cache append below is shared by both paths.
     """
 
     att = None if window else att_len  # window slots slide: prefix not static
     T = x.shape[1]
+    if (
+        packed is not None
+        and not window
+        and T == 1
+        and (att is None or att >= state.k.shape[2])
+        and use_decode_stack()
+        and stack_supported(cfg, x.shape[0], T, state.k.shape[2], state.k.dtype)
+    ):
+        h, ks, vs = decode_stack_apply(cfg, packed, x, state)
+        return h, append_kv(state, ks, vs, true_len=increment)
     dh = cfg.d_model // cfg.num_heads
     # layer-invariant per-step work, hoisted out of the scan: rotation tables
     # and attention masks (at tiny decode shapes, op count dominates cost)

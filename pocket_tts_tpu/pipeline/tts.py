@@ -518,6 +518,25 @@ class TTSModel:
 
         return self._jit("audio_prompt", lambda: jax.jit(run))
 
+    def _ensure_stack_packed(self) -> None:
+        """Lazily build the fused decode-stack kernel's packed weight bundle
+        (ops/decode_stack.py) — after any quantization, before the first step
+        function compiles. No-op when the kernel is disabled or the params are
+        not packable (mixed quantization, f32 weights)."""
+        from pocket_tts_tpu.ops.decode_stack import (
+            pack_decode_stack,
+            use_decode_stack,
+        )
+
+        if "stack_packed" in self.params or not use_decode_stack():
+            return
+        if self.mesh is not None:  # sharded serving decodes batches; XLA path
+            return
+        packed = pack_decode_stack(self.specs.transformer,
+                                   self.params["transformer"])
+        if packed is not None:
+            self.params = {**self.params, "stack_packed": packed}
+
     def _device_noise(self, key, shape):
         """Flow noise generated ON DEVICE inside the jitted step: N(0, temp)
         with the same absolute ±noise_clamp truncation as NoiseSource (the
@@ -536,6 +555,7 @@ class TTSModel:
 
         `device_noise=True`: the `noise` argument is a PRNG key instead of a
         [B, ldim] array; the flow noise is generated inside the step."""
+        self._ensure_stack_packed()
 
         def run(params, mimi_params, lm_state, mimi_state, prev_latent, is_bos, noise):
             if device_noise:
@@ -567,6 +587,7 @@ class TTSModel:
         chain dominated the b32 frame time at ~0.9 ms).
 
         Returns (latents [K,B,ldim], eos [K,B], audio [K,B,1,1920], states)."""
+        self._ensure_stack_packed()
 
         def run(params, mimi_params, lm_state, mimi_state, prev_latent, is_bos0, noise):
             if device_noise:
@@ -724,6 +745,9 @@ class TTSModel:
 
         self.mesh = mesh
         self._tp = tensor_parallel
+        # sharded serving decodes batches on the XLA path; the b1 decode-stack
+        # pack has no sharding specs and would confuse shard_tree
+        self.params = {k: v for k, v in self.params.items() if k != "stack_packed"}
         if tensor_parallel:
             self.params = shard_tree(self.params, flow_lm_param_specs(self.params), mesh)
         else:

@@ -94,6 +94,9 @@ def quantize_flow_lm_int8(params: dict, config=RECOMMENDED_CONFIG) -> dict:
     """Return a copy of the FlowLM params with the selected groups quantized."""
     groups = resolve_config(config)
     out = dict(params)
+    # a pre-quantization decode-stack pack would be stale — drop it; the
+    # model re-packs lazily at the first step compile (pipeline/tts.py)
+    out.pop("stack_packed", None)
     keys: tuple[str, ...] = ()
     if "attention" in groups:
         keys += _ATTENTION_KEYS

@@ -33,13 +33,14 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 L, O, I = 48, 4096, 1024  # 48 stacked [4096,1024] = one 24l model's FFN halves
-REPS = 2  # scans per dispatch chain
+REPS = 8  # scans per dispatch chain
 
 
 def bench(fn, args, label, traffic_bytes, trials=3):
-    """Chained-dispatch slope (tunnel RTT ~40-90 ms would otherwise dominate):
-    time n1 vs n2 chained applications, slope = per-application time."""
-    n1, n2 = 1, 5
+    """Per-application time via a LARGE-n slope: find n where chain(n) runs
+    ~2 s, then slope = (chain(2n) - chain(n)) / n. Both walls are seconds
+    while the tunnel RTT jitters tens of ms, so the bias is <3%. (Small-n
+    slopes or single short runs measure the RTT, not the kernel.)"""
 
     def chain(n):
         x = args[0]
@@ -50,10 +51,14 @@ def bench(fn, args, label, traffic_bytes, trials=3):
         return time.monotonic() - t0
 
     chain(1); chain(1)  # compile + warm
-    ts = [(chain(n2) - chain(n1)) / (n2 - n1) for _ in range(trials)]
+    n = 1
+    while chain(n) < 2.0 and n < 4096:
+        n *= 2
+    ts = [(chain(2 * n) - chain(n)) / n for _ in range(trials)]
     wall = sorted(ts)[len(ts) // 2]
     gbs = traffic_bytes / wall / 1e9
-    print(f"  {label:12s} {wall*1e3:8.2f} ms   {gbs:7.1f} GB/s", flush=True)
+    print(f"  {label:12s} n={n:4d} {wall*1e3:8.2f} ms/app  {gbs:7.1f} GB/s",
+          flush=True)
     return gbs
 
 
