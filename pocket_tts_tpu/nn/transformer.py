@@ -291,8 +291,9 @@ def transformer_apply(
         and use_decode_stack()
         and stack_supported(cfg, x.shape[0], T, state.k.shape[2], state.k.dtype)
     ):
-        h, ks, vs = decode_stack_apply(cfg, packed, x, state)
-        return h, append_kv(state, ks, vs, true_len=increment)
+        # the kernel appends the k/v row in place (aliased caches) and
+        # returns the fully-updated state — no XLA-side cache update
+        return decode_stack_apply(cfg, packed, x, state)
     dh = cfg.d_model // cfg.num_heads
     # layer-invariant per-step work, hoisted out of the scan: rotation tables
     # and attention masks (at tiny decode shapes, op count dominates cost)

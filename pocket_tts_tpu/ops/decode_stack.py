@@ -24,8 +24,16 @@ flagship shape D=1024, H=16, Dh=64, F=4096 shared by the 6l and 24l configs:
 Attention reproduces the production semantics bit-for-bit: append-ordered
 cache with pos-map validity `(pos >= 0) & (pos <= offset)` plus the step's own
 new key at position offset (nn/attention.decode_masks for T=1, context=None).
-The cache APPEND stays outside (the caller's single dynamic_update_slice on
-donated buffers) — the kernel returns each layer's new k/v.
+The cache APPEND happens IN-KERNEL: the caches stay in HBM (ANY-space refs,
+aliased input->output, donated buffers), each layer's panel streams through
+double-buffered VMEM scratch under manual DMA control, and the new k/v row
+writes back as a 16-row aligned tile rebuilt from the read panel (HBM buffers
+are sublane-tiled; single-row DMA destinations are unexpressible). Moving the
+append off XLA matters as much as the fusion itself: an XLA-side
+dynamic_update_slice made layout assignment pick a tiled cache layout and
+materialize ~100 MB/frame of relayout copies around the kernel (measured in
+the compiled HLO; 24l int8 b1 87 -> 105 audio-s/s when the append moved
+in-kernel). Only the pos-map/offset/write_pos update remains outside (tiny).
 
 Weight packing (`pack_decode_stack`): all four mats concatenate row-major into
 one [L, 12*1024, 1024] array — rows [0,3D) in_proj (q|k|v row blocks land on
@@ -179,18 +187,55 @@ def rope_lane_tables(offset, H: int, Dh: int, max_period: float):
 # -------------------------------------------------------------------- kernel
 
 
-def _kernel(x_ref, w_ref, s_ref, s2_ref, norm_ref, cos_ref, sin_ref, mask_ref,
-            k_ref, v_ref, xo_ref, kn_ref, vn_ref,
-            xs, hs, qr, kr, vv, g, y2, *, H, Dh, C, n_layers, out_dtype,
-            scaled):
+def _kernel(wp_ref, x_ref, w_ref, s_ref, s2_ref, norm_ref, cos_ref, sin_ref,
+            mask_ref, k_hbm, v_hbm, xo_ref, ko_ref, vo_ref,
+            xs, hs, qr, kr, vv, g, y2, kbuf, vbuf, krow, vrow, rsem, wsem,
+            *, H, Dh, C, n_layers, out_dtype, scaled):
+    """The caches stay in HBM (ANY space, aliased in->out) and are streamed
+    manually: layer l+1's [C, HD] k/v panels DMA into double-buffered VMEM
+    scratch while layer l computes, and the step's new k/v row DMAs back to
+    slot `wp` (scalar-prefetched write pointer) — the append happens INSIDE
+    the kernel. This removes the XLA-side dynamic_update_slice whose layout
+    preferences forced ~100 MB/frame of cache relayout copies around the
+    kernel (measured in the compiled HLO), and leaves the kernel as the
+    cache's only producer/consumer so the scan carry settles on the default
+    layout."""
     l = pl.program_id(0)
     c = pl.program_id(1)
     HD = H * Dh
     scale = 1.0 / math.sqrt(Dh)
+    wp = wp_ref[0]
+
+    def read_dma(layer, slot):
+        return (pltpu.make_async_copy(k_hbm.at[layer], kbuf.at[slot],
+                                      rsem.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[layer], vbuf.at[slot],
+                                      rsem.at[slot, 1]))
+
+    # The append writes a 16-row ALIGNED tile, not a single row: HBM buffers
+    # are sublane-tiled, so a 1-row DMA destination is unexpressible. The
+    # tile is rebuilt from the layer's just-read panel (kbuf/vbuf) with the
+    # new row blended in at wp — neighbor rows are rewritten with the values
+    # they already hold (the kernel is the cache's only writer).
+    ALIGN = 16
+    aligned = pl.multiple_of((wp // ALIGN) * ALIGN, ALIGN)
+
+    def write_dma(layer):
+        return (pltpu.make_async_copy(krow, ko_ref.at[layer, pl.ds(aligned, ALIGN)],
+                                      wsem.at[0]),
+                pltpu.make_async_copy(vrow, vo_ref.at[layer, pl.ds(aligned, ALIGN)],
+                                      wsem.at[1]))
 
     @pl.when((l == 0) & (c == 0))
     def _():
         xs[...] = x_ref[...].astype(jnp.float32)
+        for d in read_dma(0, 0):
+            d.start()
+
+    @pl.when((c == 0) & (l + 1 < n_layers))
+    def _():
+        for d in read_dma(l + 1, (l + 1) % 2):
+            d.start()
 
     def ln(slot):
         """hs = LayerNorm(xs) with norm row pair `slot` (f32 stats, eps 1e-5)."""
@@ -243,19 +288,33 @@ def _kernel(x_ref, w_ref, s_ref, s2_ref, norm_ref, cos_ref, sin_ref, mask_ref,
     def _():
         k = rope(wchunk_dot(hs[...]))
         kr[...] = k
-        kn_ref[0] = k.astype(kn_ref.dtype)
 
     @pl.when(c == 2)
     def _():
-        v = wchunk_dot(hs[...])
-        vv[...] = v
-        vn_ref[0] = v.astype(vn_ref.dtype)
+        vv[...] = wchunk_dot(hs[...])
+        # drain the previous layer's append before rebuilding the stage tiles
+        @pl.when(l >= 1)
+        def _():
+            for d in write_dma(l - 1):
+                d.wait()
 
     @pl.when(c == 3)
     def _():
-        # attention over the resident cache layer + the step's own new k/v
+        for d in read_dma(l, l % 2):
+            d.wait()
+        # stage the append tile (read panel rows + the new k/v row at wp)
+        # and start its write-back
+        rowrel = wp - aligned
+        rowsel = jax.lax.broadcasted_iota(jnp.int32, (ALIGN, HD), 0) == rowrel
+        kpanel = kbuf[l % 2, pl.ds(aligned, ALIGN), :]
+        vpanel = vbuf[l % 2, pl.ds(aligned, ALIGN), :]
+        krow[...] = jnp.where(rowsel, kr[...].astype(krow.dtype), kpanel)
+        vrow[...] = jnp.where(rowsel, vv[...].astype(vrow.dtype), vpanel)
+        for d in write_dma(l):
+            d.start()
+        # attention over the streamed cache layer + the step's own new k/v
         # (pos-map validity arrives as an additive {0, -inf} bias)
-        k_tile = k_ref[0].astype(jnp.float32)  # [C, HD]
+        k_tile = kbuf[l % 2].astype(jnp.float32)  # [C, HD]
         scores = group_reduce(k_tile * qr[...]) * scale + mask_ref[...]
         s_new = group_reduce(qr[...] * kr[...]) * scale  # [1, H]
         m = jnp.maximum(jnp.max(scores, axis=0, keepdims=True), s_new)
@@ -265,7 +324,7 @@ def _kernel(x_ref, w_ref, s_ref, s2_ref, norm_ref, cos_ref, sin_ref, mask_ref,
         # softmax weights cast to the cache dtype for the value reduction —
         # exactly what the XLA path does (attend_cached: weights.astype(
         # cache_v.dtype)); halves the VPU traffic of the [C, HD] product
-        vt = v_ref[0]
+        vt = vbuf[l % 2]
         pw = expand(p).astype(vt.dtype) * vt
         pv = jnp.sum(pw.astype(jnp.float32), axis=0, keepdims=True)  # [1, HD]
         attn = (pv + expand(e_new) * vv[...]) / expand(denom)
@@ -311,66 +370,69 @@ def _kernel(x_ref, w_ref, s_ref, s2_ref, norm_ref, cos_ref, sin_ref, mask_ref,
         @pl.when(l == n_layers - 1)
         def _():
             xo_ref[...] = xs[...].astype(out_dtype)
+            # drain the last layer's row-append DMA before the kernel retires
+            # (earlier layers drained at their successor's c==1)
+            for d in write_dma(n_layers - 1):
+                d.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("H", "Dh", "interpret"))
-def decode_stack_tpu(x, packed, cache_k, cache_v, mask_bias, cos_lane,
-                     sin_lane, *, H: int, Dh: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("H", "Dh", "interpret"),
+                   donate_argnums=(3, 4))
+def decode_stack_tpu(x, packed, write_pos, cache_k, cache_v, mask_bias,
+                     cos_lane, sin_lane, *, H: int, Dh: int,
+                     interpret: bool = False):
     """One fused pass of the whole stack (see module docstring).
 
-    x: [1, D]; packed: pack_decode_stack output; cache_k/v: [L, 1, C, H, Dh];
-    mask_bias: [C, 1] f32 (0 valid / -inf dead); cos/sin_lane: [1, H*Dh] f32.
-    Returns (h [1, D] in x.dtype, k_new [L, 1, H*Dh], v_new [L, 1, H*Dh] in
-    cache dtype).
+    x: [1, D]; packed: pack_decode_stack output; write_pos: [1] int32 (the
+    slot receiving this step's k/v row); cache_k/v: [L, 1, C, H, Dh]
+    (DONATED — the kernel appends in place via aliased HBM refs); mask_bias:
+    [C, 1] f32 (0 valid / -inf dead); cos/sin_lane: [1, H*Dh] f32.
+    Returns (h [1, D] in x.dtype, cache_k, cache_v with the row appended).
     """
     D = x.shape[-1]
     HD = H * Dh
     L = cache_k.shape[0]
     C = cache_k.shape[2]
+    # The caches' only producer/consumer on this path is the kernel itself
+    # (the append happens in-kernel through the aliased outputs), so the jit
+    # carry settles on the default layout and this reshape is a free bitcast.
+    # (Appending with an XLA-side dynamic_update_slice instead made layout
+    # assignment pick a tiled cache layout and materialize ~100 MB/frame of
+    # relayout copies around the kernel — measured in the compiled HLO.)
     kf = cache_k.reshape(L, C, HD)
     vf = cache_v.reshape(L, C, HD)
 
-    grid = (L, N_CHUNKS)
     kernel = functools.partial(
         _kernel, H=H, Dh=Dh, C=C, n_layers=L, out_dtype=x.dtype,
         scaled=packed["wcat"].dtype == jnp.int8)
-    h, k_new, v_new = pl.pallas_call(
-        kernel,
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # write_pos
+        grid=(L, N_CHUNKS),
         in_specs=[
-            pl.BlockSpec((1, D), lambda l, c: (0, 0),
+            pl.BlockSpec((1, D), lambda l, c, wp: (0, 0),
                          memory_space=pltpu.VMEM),  # x
-            pl.BlockSpec((1, CHUNK, D), lambda l, c: (l, c, 0),
+            pl.BlockSpec((1, CHUNK, D), lambda l, c, wp: (l, c, 0),
                          memory_space=pltpu.VMEM),  # wcat (streamed)
-            pl.BlockSpec((1, 1, 1, CHUNK), lambda l, c: (l, c, 0, 0),
+            pl.BlockSpec((1, 1, 1, CHUNK), lambda l, c, wp: (l, c, 0, 0),
                          memory_space=pltpu.VMEM),  # scat
-            pl.BlockSpec((1, 1, D), lambda l, c: (l, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda l, c, wp: (l, 0, 0),
                          memory_space=pltpu.VMEM),  # s2
-            pl.BlockSpec((1, 4, D), lambda l, c: (l, 0, 0),
+            pl.BlockSpec((1, 4, D), lambda l, c, wp: (l, 0, 0),
                          memory_space=pltpu.VMEM),  # normcat
-            pl.BlockSpec((1, HD), lambda l, c: (0, 0),
+            pl.BlockSpec((1, HD), lambda l, c, wp: (0, 0),
                          memory_space=pltpu.VMEM),  # cos
-            pl.BlockSpec((1, HD), lambda l, c: (0, 0),
+            pl.BlockSpec((1, HD), lambda l, c, wp: (0, 0),
                          memory_space=pltpu.VMEM),  # sin (sign-folded)
-            pl.BlockSpec((C, 1), lambda l, c: (0, 0),
+            pl.BlockSpec((C, 1), lambda l, c, wp: (0, 0),
                          memory_space=pltpu.VMEM),  # mask bias
-            pl.BlockSpec((1, C, HD), lambda l, c: (l, 0, 0),
-                         memory_space=pltpu.VMEM),  # cache_k
-            pl.BlockSpec((1, C, HD), lambda l, c: (l, 0, 0),
-                         memory_space=pltpu.VMEM),  # cache_v
+            pl.BlockSpec(memory_space=pl.ANY),   # cache_k (HBM, streamed)
+            pl.BlockSpec(memory_space=pl.ANY),   # cache_v (HBM, streamed)
         ],
         out_specs=(
-            pl.BlockSpec((1, D), lambda l, c: (0, 0),
+            pl.BlockSpec((1, D), lambda l, c, wp: (0, 0),
                          memory_space=pltpu.VMEM),  # h
-            pl.BlockSpec((1, 1, HD), lambda l, c: (l, 0, 0),
-                         memory_space=pltpu.VMEM),  # k_new
-            pl.BlockSpec((1, 1, HD), lambda l, c: (l, 0, 0),
-                         memory_space=pltpu.VMEM),  # v_new
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, D), x.dtype),
-            jax.ShapeDtypeStruct((L, 1, HD), cache_k.dtype),
-            jax.ShapeDtypeStruct((L, 1, HD), cache_v.dtype),
+            pl.BlockSpec(memory_space=pl.ANY),   # cache_k (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),   # cache_v (aliased)
         ),
         scratch_shapes=[
             pltpu.VMEM((1, D), jnp.float32),        # xs (residual stream)
@@ -380,22 +442,42 @@ def decode_stack_tpu(x, packed, cache_k, cache_v, mask_bias, cos_lane,
             pltpu.VMEM((1, HD), jnp.float32),       # v
             pltpu.VMEM((1, 4 * CHUNK), jnp.bfloat16),  # gelu outputs
             pltpu.VMEM((1, D), jnp.float32),        # w2 accumulator
+            pltpu.VMEM((2, C, HD), cache_k.dtype),  # k double buffer
+            pltpu.VMEM((2, C, HD), cache_v.dtype),  # v double buffer
+            pltpu.VMEM((16, HD), cache_k.dtype),    # staged k append tile
+            pltpu.VMEM((16, HD), cache_v.dtype),    # staged v append tile
+            pltpu.SemaphoreType.DMA((2, 2)),        # read sems (slot, k/v)
+            pltpu.SemaphoreType.DMA((2,)),          # write sems (k, v)
         ],
+    )
+    h, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, D), x.dtype),
+            jax.ShapeDtypeStruct((L, C, HD), cache_k.dtype),
+            jax.ShapeDtypeStruct((L, C, HD), cache_v.dtype),
+        ),
+        # inputs (incl. the scalar-prefetch operand at index 0): kf is
+        # operand 9, vf operand 10; they alias outputs 1 and 2 (in-place
+        # append on the donated buffers)
+        input_output_aliases={9: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(x, packed["wcat"], packed["scat"], packed["s2"], packed["norm"],
-      cos_lane, sin_lane, mask_bias, kf, vf)
-    return h, k_new, v_new
+    )(write_pos.astype(jnp.int32), x, packed["wcat"], packed["scat"],
+      packed["s2"], packed["norm"], cos_lane, sin_lane, mask_bias, kf, vf)
+    return (h, k_out.reshape(L, 1, C, H, Dh), v_out.reshape(L, 1, C, H, Dh))
 
 
 def decode_stack_apply(cfg, packed, x, state, *, interpret: bool | None = None):
     """transformer_apply's T=1 decode body on the fused kernel.
 
-    x: [1, 1, D]; state: StackState with k/v [L, 1, C, H, Dh]. Returns
-    (h [1, 1, D], ks [L, 1, 1, H, Dh], vs [L, 1, 1, H, Dh]) — the caller
-    appends ks/vs exactly like the XLA scan path's outputs.
+    x: [1, 1, D]; state: StackState with k/v [L, 1, C, H, Dh]. Returns the
+    post-step (h [1, 1, D], StackState): the k/v row is appended IN-KERNEL at
+    slot write_pos (aliased caches), and the pos map / offset / write_pos
+    advance exactly like append_kv for a fully-valid T=1 block.
     `interpret=None`: auto — interpreter mode on the CPU backend (tests).
     """
     if interpret is None:
@@ -403,15 +485,21 @@ def decode_stack_apply(cfg, packed, x, state, *, interpret: bool | None = None):
     H = cfg.num_heads
     D = cfg.d_model
     Dh = D // H
-    C = state.k.shape[2]
     offset = state.offset  # [1]
     valid = (state.pos[0] >= 0) & (state.pos[0] <= offset[0])  # [C]
     mask_bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None]
     cos_lane, sin_lane = rope_lane_tables(offset, H, Dh, cfg.max_period)
-    h, k_new, v_new = decode_stack_tpu(
-        x[:, 0], packed, state.k, state.v, mask_bias, cos_lane, sin_lane,
+    wp = jnp.reshape(state.write_pos, (1,))
+    h, new_k, new_v = decode_stack_tpu(
+        x[:, 0], packed, wp, state.k, state.v, mask_bias, cos_lane, sin_lane,
         H=H, Dh=Dh, interpret=interpret,
     )
-    L = state.k.shape[0]
-    return (h[:, None], k_new.reshape(L, 1, 1, H, Dh),
-            v_new.reshape(L, 1, 1, H, Dh))
+    from pocket_tts_tpu.nn.transformer import StackState
+
+    pos = jax.lax.dynamic_update_slice(
+        state.pos, offset[:, None], (0, state.write_pos))
+    new_state = StackState(
+        k=new_k, v=new_v, pos=pos, offset=offset + 1,
+        write_pos=state.write_pos + 1,
+    )
+    return h[:, None], new_state

@@ -78,8 +78,9 @@ def test_kernel_matches_xla_scan(C, offset, quantized):
         jnp.bfloat16,
     )
 
+    slot = int(state.write_pos)
     h_ref, st_ref = transformer_apply(CFG, params, x, state, unroll=True)
-    h_k, ks, vs = decode_stack_apply(CFG, packed, x, state)
+    h_k, st_k = decode_stack_apply(CFG, packed, x, state)
 
     # the kernel keeps the residual stream in f32 between layers while the
     # XLA scan rounds to bf16 per op, so agreement is bf16-grade
@@ -87,14 +88,21 @@ def test_kernel_matches_xla_scan(C, offset, quantized):
         np.asarray(h_k, np.float32), np.asarray(h_ref, np.float32),
         rtol=5e-2, atol=5e-2,
     )
-    # new K/V match the scan's per-layer outputs (the appended slot)
-    slot = int(state.write_pos)
-    k_ref_new = np.asarray(st_ref.k[:, :, slot], np.float32)  # [L, 1, H, Dh]
-    v_ref_new = np.asarray(st_ref.v[:, :, slot], np.float32)
+    # the in-kernel append wrote the new K/V at the same slot with the same
+    # values as the scan path's append_kv, leaving every other slot untouched
     np.testing.assert_allclose(
-        np.asarray(ks[:, :, 0], np.float32), k_ref_new, rtol=5e-2, atol=5e-2)
+        np.asarray(st_k.k[:, :, slot], np.float32),
+        np.asarray(st_ref.k[:, :, slot], np.float32), rtol=5e-2, atol=5e-2)
     np.testing.assert_allclose(
-        np.asarray(vs[:, :, 0], np.float32), v_ref_new, rtol=5e-2, atol=5e-2)
+        np.asarray(st_k.v[:, :, slot], np.float32),
+        np.asarray(st_ref.v[:, :, slot], np.float32), rtol=5e-2, atol=5e-2)
+    mask = np.arange(st_k.k.shape[2]) != slot
+    np.testing.assert_array_equal(
+        np.asarray(st_k.k[:, :, mask], np.float32),
+        np.asarray(st_ref.k[:, :, mask], np.float32))
+    assert np.array_equal(np.asarray(st_k.pos), np.asarray(st_ref.pos))
+    assert np.array_equal(np.asarray(st_k.offset), np.asarray(st_ref.offset))
+    assert int(st_k.write_pos) == int(st_ref.write_pos)
 
 
 def test_routed_step_equals_unrouted(monkeypatch):

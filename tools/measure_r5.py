@@ -122,6 +122,142 @@ def main():
                           f"ms/frame ({0.08*320/best:7.1f} audio-s/s)  "
                           f"all={[round(t,3) for t in ts]}", flush=True)
 
+    if "kern" in sections:
+        # isolated decode-stack kernel throughput (no append/heads/flow):
+        # chained calls, min over trials -> effective HBM GB/s
+        import time as _t
+
+        import numpy as _np
+
+        from pocket_tts_tpu.nn.transformer import init_layer_params
+        from pocket_tts_tpu.ops.decode_stack import (
+            decode_stack_tpu, pack_decode_stack)
+        from pocket_tts_tpu.quant import quantize_weight
+        from pocket_tts_tpu.nn.transformer import TransformerConfig
+
+        for L in (24,):
+            for C in (512, 1024):
+                for quant in (True, False):
+                    cfg = TransformerConfig(d_model=1024, num_heads=16,
+                                            num_layers=L, dim_feedforward=4096)
+                    params = jax.tree.map(
+                        lambda x: x.astype(jnp.bfloat16),
+                        init_layer_params(cfg, jax.random.PRNGKey(0)))
+                    if quant:
+                        for k in ("in_proj", "out_proj", "w1", "w2"):
+                            params[k] = quantize_weight(params[k])
+                    packed = pack_decode_stack(cfg, params)
+                    rng = _np.random.default_rng(0)
+                    ck = jnp.asarray(rng.standard_normal(
+                        (L, 1, C, 16, 64)), jnp.bfloat16)
+                    cv = jnp.asarray(rng.standard_normal(
+                        (L, 1, C, 16, 64)), jnp.bfloat16)
+                    mask = jnp.zeros((C, 1), jnp.float32)
+                    cos = jnp.ones((1, 1024), jnp.float32)
+                    sin = jnp.zeros((1, 1024), jnp.float32)
+                    x = jnp.asarray(rng.standard_normal((1, 1024)) * 0.1,
+                                    jnp.bfloat16)
+
+                    def call(xx):
+                        h, kn, vn = decode_stack_tpu(
+                            xx, packed, ck, cv, mask, cos, sin, H=16, Dh=64)
+                        return h
+
+                    def chain(n):
+                        xx = x
+                        t0 = _t.monotonic()
+                        for _ in range(n):
+                            xx = call(xx)
+                        _np.asarray(xx).ravel()[:1]
+                        return _t.monotonic() - t0
+
+                    chain(1); chain(1)
+                    n = 2
+                    while chain(n) < 1.5 and n < 4096:
+                        n *= 2
+                    per = min((chain(2 * n) - chain(n)) / n for _ in range(3))
+                    wbytes = packed["wcat"].size * packed["wcat"].dtype.itemsize
+                    cbytes = ck.size * 2 * 2
+                    gbs = (wbytes + cbytes) / per / 1e9
+                    q = "int8" if quant else "bf16"
+                    print(f"  kern L{L} C{C} {q}: {per*1e3:7.3f} ms/call  "
+                          f"{gbs:6.1f} GB/s (w {wbytes/1e6:.0f} MB + "
+                          f"cache {cbytes/1e6:.0f} MB)", flush=True)
+
+    if "bisect" in sections:
+        # Where do the ~0.6 ms outside the kernel go? 8-frame scan blocks of
+        # decode_step variants at fixed C=512, 24l int8, stack on:
+        #   full   — production decode_step (kernel + heads + flow + append)
+        #   noflow — flow head replaced by identity (latent = h[:, :ldim])
+        #   nohead — transformer_apply + append only (no norms/eos/flow)
+        import time as _t
+
+        import numpy as _np
+
+        from measure_r4 import post_prompt_state
+        from pocket_tts_tpu.models.flow_lm import decode_step
+        from pocket_tts_tpu.nn.transformer import layer_norm, transformer_apply
+
+        set_stack(True)
+        m = build_model(quantize=True, config_name="italian_24l.yaml")
+        m._ensure_stack_packed()
+        specs = m.specs
+        ldim = specs.ldim
+        BLOCK = 8
+
+        def variant_fn(kind):
+            def block(params, lm_state, prev):
+                def body(carry, xs):
+                    lm_state, prev = carry
+                    if kind == "full":
+                        latent, eos, lm_state = decode_step(
+                            specs, params, lm_state, prev,
+                            jnp.zeros((1,), bool), xs, lsd_steps=1,
+                            eos_threshold=-4.0)
+                    else:
+                        wdtype = params["input_linear"].dtype
+                        x = (prev.astype(wdtype) @ params["input_linear"].T)[:, None]
+                        h, lm_state = transformer_apply(
+                            specs.transformer, params["transformer"], x,
+                            lm_state, unroll=True,
+                            packed=params.get("stack_packed"))
+                        if kind == "noflow":
+                            hf = layer_norm(h[:, -1].astype(jnp.float32),
+                                            params["out_norm"]["w"],
+                                            params["out_norm"]["b"])
+                            eos = (hf @ params["out_eos"]["w"].T.astype(
+                                jnp.float32))[:, 0] > -4.0
+                            latent = hf[:, :ldim]
+                        else:  # nohead
+                            latent = h[:, -1, :ldim].astype(jnp.float32)
+                            eos = latent[:, 0] > 99.0
+                    return (lm_state, latent), eos
+                (lm_state, prev), eos = jax.lax.scan(
+                    body, (lm_state, prev), jnp.zeros((BLOCK, 1, ldim),
+                                                      jnp.float32))
+                return lm_state, prev, eos
+            return jax.jit(block, donate_argnums=(1,))
+
+        for kind in ("full", "noflow", "nohead"):
+            fn = variant_fn(kind)
+
+            def run_once():
+                lm = post_prompt_state(m, 1, 400, jnp.bfloat16, capacity=512)
+                prev = jnp.zeros((1, ldim), jnp.float32)
+                t0 = _t.monotonic()
+                frames = 0
+                while frames < 320:
+                    lm, prev, eos = fn(m.params, lm, prev)
+                    frames += BLOCK
+                _np.asarray(eos)
+                return _t.monotonic() - t0
+
+            run_once()
+            best = min(run_once() for _ in range(5))
+            print(f"  bisect {kind:7s} {best*1000/320:7.3f} ms/frame "
+                  f"({0.08*320/best:7.1f} audio-s/s)", flush=True)
+        set_stack(False)
+
     if "b32" in sections:
         print("=== b32 sanity with kernel enabled (must self-route off) ===",
               flush=True)
