@@ -140,6 +140,58 @@ def attend_cached(
     return out.astype(v_new.dtype)
 
 
+def attend_windowed_chunked(
+    q: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    pos_cache: jnp.ndarray,
+    pos_q: jnp.ndarray,
+    context: int,
+    chunk: int = 64,
+) -> jnp.ndarray:
+    """Windowed attention for LARGE in-block T (the multi-frame codec path).
+
+    `attend_cached` materializes [B, H, T, W+T] f32 logits; at the serving
+    block size (T = 512 timesteps for a 32-frame block) and large batch that
+    is ~1.6 GB per layer call — measured as the dominant cost of the b128
+    codec. A query at block position t only attends keys within `context`
+    (window cache W >= context), so each CHUNK of queries needs just the
+    [c0, c0 + W + chunk) slice of the concatenated [cache; in-block] key
+    axis: per-chunk logits are [B, H, chunk, W+chunk] — (W+chunk)/(W+T) of
+    the naive traffic — with identical numerics (same mask rule on the
+    sliced positions).
+
+    q/k_new/v_new: [B, T, H, Dh]; cache_k/v: [B, W, H, Dh]; pos_cache:
+    [B, W]; pos_q: [B, T]. Returns [B, T, H, Dh].
+    """
+    B, T, H, Dh = q.shape
+    scale = 1.0 / math.sqrt(Dh)
+    fk = jnp.concatenate([cache_k, k_new], axis=1)
+    fv = jnp.concatenate([cache_v, v_new], axis=1)
+    fpos = jnp.concatenate([pos_cache, pos_q], axis=1)  # [B, W+T]
+    W = cache_k.shape[1]
+    S = W + chunk
+    outs = []
+    for c0 in range(0, T, chunk):
+        qc = q[:, c0:c0 + chunk]
+        ks = fk[:, c0:c0 + S]
+        vs = fv[:, c0:c0 + S]
+        pk = fpos[:, c0:c0 + S]
+        pq = pos_q[:, c0:c0 + chunk]
+        lc = jnp.einsum("bthd,bchd->bhtc", qc, ks,
+                        preferred_element_type=jnp.float32) * scale
+        delta = pq[:, :, None] - pk[:, None, :]
+        mask = (pk[:, None, :] >= 0) & (delta >= 0) & (delta < context)
+        lc = jnp.where(mask[:, None], lc, jnp.finfo(jnp.float32).min)
+        w = jax.nn.softmax(lc, axis=-1)
+        outs.append(jnp.einsum(
+            "bhtc,bchd->bthd", w.astype(vs.dtype), vs,
+            preferred_element_type=jnp.float32).astype(vs.dtype))
+    return jnp.concatenate(outs, axis=1)
+
+
 def mha_oneshot(
     in_proj: jnp.ndarray,
     out_proj: jnp.ndarray,
@@ -172,6 +224,7 @@ def mha_step(
     num_heads: int,
     att_len: int | None = None,
     flash_ctx: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    wchunk_ctx: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One streaming attention call: project, rope, attend over cache + block.
 
@@ -196,7 +249,13 @@ def mha_step(
     rotr, roti = rope_tabs
     q, k = rotate(q, rotr, roti), rotate(k, rotr, roti)
 
-    if flash_ctx is not None:
+    if wchunk_ctx is not None:
+        # large-T windowed block (multi-frame codec): chunked attention —
+        # see attend_windowed_chunked
+        pos_cache, pos_q, context = wchunk_ctx
+        out = attend_windowed_chunked(
+            q, cache_k, cache_v, k, v, pos_cache, pos_q, context)
+    elif flash_ctx is not None:
         from pocket_tts_tpu.ops.flash_decode import flash_decode_tpu
 
         pos_cache, offset = flash_ctx

@@ -139,6 +139,7 @@ def _layer_step(
     masks: tuple[jnp.ndarray, jnp.ndarray],
     att_len: int | None = None,
     flash_ctx=None,
+    wchunk_ctx=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     h = layer_norm(x, p["norm1_scale"], p["norm1_bias"])
     attn_out, k_new, v_new = mha_step(
@@ -152,6 +153,7 @@ def _layer_step(
         num_heads=cfg.num_heads,
         att_len=att_len,
         flash_ctx=flash_ctx,
+        wchunk_ctx=wchunk_ctx,
     )
     if "ls1" in p:
         attn_out = attn_out * p["ls1"]
@@ -308,8 +310,16 @@ def transformer_apply(
         and use_flash_decode(x.shape[0])
         and flash_decode_supported(att or state.k.shape[2], dh)
     )
+    wchunk_ctx = None
     if flash:
         flash_ctx = (state.pos, state.offset)
+        masks = (None, None)
+    elif window and T >= 128 and cfg.context is not None:
+        # multi-frame windowed block: chunked attention avoids the
+        # [B, H, T, W+T] logits blow-up (see attend_windowed_chunked)
+        flash_ctx = None
+        pos_q = state.offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        wchunk_ctx = (state.pos, pos_q, cfg.context)
         masks = (None, None)
     else:
         flash_ctx = None
@@ -322,7 +332,7 @@ def transformer_apply(
         h = carry
         p, ck, cv = xs
         h, k_new, v_new = _layer_step(cfg, h, p, ck, cv, tabs, masks, att,
-                                      flash_ctx)
+                                      flash_ctx, wchunk_ctx)
         return h, (k_new, v_new)
 
     h, (ks, vs) = jax.lax.scan(

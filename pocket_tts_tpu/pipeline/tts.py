@@ -505,6 +505,33 @@ class TTSModel:
             self._jit_cache[key] = fn
         return fn
 
+    def _step_jit(self, run, donate):
+        """jit a decode-step function, optionally pinning the KV-cache leaves
+        to the DEFAULT layout at the dispatch boundary
+        (POCKET_TTS_TPU_PIN_LAYOUT=1). Rationale: XLA's layout assignment may
+        pick a tiled cache layout inside the step while the states cross the
+        boundary in another, materializing cache-sized relayout copies per
+        dispatch (the large-batch residual named in STATUS round 4); pinning
+        makes the boundary layout the one the donated round trip keeps."""
+        if os.environ.get("POCKET_TTS_TPU_PIN_LAYOUT", "0") != "1" \
+                or self.mesh is not None:
+            return jax.jit(run, donate_argnums=donate)
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        auto = Format()
+        dev = SingleDeviceSharding(jax.devices()[0])
+        pinned = Format(Layout((0, 1, 2, 3, 4)), dev)
+        pinned_state = StackState(
+            k=pinned, v=pinned, pos=auto, offset=auto, write_pos=auto,
+        )
+        # args: (params, mimi_params, lm_state, mimi_state, prev, is_bos, noise)
+        in_s = (auto, auto, pinned_state, auto, auto, auto, auto)
+        # outputs: (latents, eos, audio, lm_state, mimi_state)
+        out_s = (auto, auto, auto, pinned_state, auto)
+        return jax.jit(run, donate_argnums=donate,
+                       in_shardings=in_s, out_shardings=out_s)
+
     def _text_prompt_fn(self):
         def run(params, state, tokens, true_len):
             emb = embed_text_tokens(params, tokens)
@@ -575,7 +602,7 @@ class TTSModel:
 
         key = ("fused_step", att_len, self.gen.lsd_decode_steps, self.gen.eos_threshold,
                device_noise and (self.gen.temp, self.gen.noise_clamp))
-        return self._jit(key, lambda: jax.jit(run, donate_argnums=(2, 3)))
+        return self._jit(key, lambda: self._step_jit(run, (2, 3)))
 
     def _multi_step_fn(self, block: int, att_len: int | None = None,
                        device_noise: bool = False):
@@ -624,7 +651,7 @@ class TTSModel:
         key = ("multi_step", block, att_len, self.gen.lsd_decode_steps,
                self.gen.eos_threshold,
                device_noise and (self.gen.temp, self.gen.noise_clamp))
-        return self._jit(key, lambda: jax.jit(run, donate_argnums=(2, 3)))
+        return self._jit(key, lambda: self._step_jit(run, (2, 3)))
 
     def _encode_fn(self):
         def run(mimi_params, audio):

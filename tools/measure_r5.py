@@ -258,6 +258,68 @@ def main():
                   f"({0.08*320/best:7.1f} audio-s/s)", flush=True)
         set_stack(False)
 
+    if "b128pin" in sections:
+        # Large-batch layout experiment: does pinning the jit-boundary cache
+        # layout remove the dispatch-boundary relayout copies (round-4 b128
+        # residual)? Interleaved legs, min statistics.
+        import os
+        import time as _t
+
+        import numpy as _np
+
+        from measure_r4 import post_prompt_state
+        from pocket_tts_tpu.models.mimi import init_decoder_state
+        from pocket_tts_tpu.pipeline.tts import _block_size
+
+        B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+        set_stack(False)
+
+        def build_variant(pin):
+            os.environ["POCKET_TTS_TPU_PIN_LAYOUT"] = "1" if pin else "0"
+            m = build_model(quantize=True)
+            return m
+
+        def run_once(model):
+            lm = post_prompt_state(model, B, 192, jnp.bfloat16)
+            mimi = init_decoder_state(model.mimi_specs, B, jnp.bfloat16)
+            ldim = model.specs.ldim
+            prev = jnp.zeros((B, ldim), jnp.float32)
+            is_bos = jnp.ones((B,), bool)
+            frames = 0
+            t0 = _t.monotonic()
+            while frames < 320:
+                K = _block_size(frames)
+                lm = model._ensure_capacity(lm, 192 + frames + K)
+                if K == 1:
+                    noise = jnp.zeros((B, ldim), jnp.float32)
+                    _, eos, _, lm, mimi = model._fused_step_fn()(
+                        model.params, model.mimi_params, lm, mimi, prev,
+                        is_bos, noise)
+                else:
+                    noise = jnp.zeros((K, B, ldim), jnp.float32)
+                    _, eos, _, lm, mimi = model._multi_step_fn(K)(
+                        model.params, model.mimi_params, lm, mimi, prev,
+                        is_bos, noise)
+                is_bos = jnp.zeros((B,), bool)
+                frames += K
+            _np.asarray(eos)
+            return _t.monotonic() - t0
+
+        m_base = build_variant(pin=False)
+        run_once(m_base)
+        m_pin = build_variant(pin=True)
+        run_once(m_pin)
+        os.environ["POCKET_TTS_TPU_PIN_LAYOUT"] = "0"
+        walls = {"base": [], "pinned": []}
+        for _ in range(4):
+            walls["base"].append(run_once(m_base))
+            walls["pinned"].append(run_once(m_pin))
+        for name, ts in walls.items():
+            best = min(ts)
+            print(f"  b{B} int8 {name:7s} min {best*1000/320:7.3f} ms/frame "
+                  f"({B*0.08*320/best:8.1f} audio-s/s)  "
+                  f"all={[round(t,3) for t in ts]}", flush=True)
+
     if "b32" in sections:
         print("=== b32 sanity with kernel enabled (must self-route off) ===",
               flush=True)
