@@ -78,6 +78,33 @@ def pad_for_conv1d(x: jnp.ndarray, kernel_size: int, stride: int) -> jnp.ndarray
     return jnp.pad(x, ((0, 0), (0, 0), (0, extra)))
 
 
+def _conv1d_matmul(x: jnp.ndarray, spec: ConvSpec, params: ConvParams) -> jnp.ndarray:
+    """Stride-1 groups-1 conv as K shifted time-major matmuls.
+
+    MEASURED NEGATIVE on v5e (kept as the record + parity test): routing the
+    codec decoder's convs here at b128 regressed 2,159 -> 1,567 audio-s/s.
+    The conv op's internal accumulator never materializes partial products,
+    while this form writes K f32 [B, T, O] partials to HBM — at the decoder's
+    long-T low-C tail stages (T up to 61K samples) that is ~14 GB per block,
+    dwarfing the conv lowering's poor MXU utilization. A Pallas conv kernel
+    with VMEM accumulation would be the way to beat the conv op, not this."""
+    w = params.weight  # [O, C, K]
+    T = x.shape[2]
+    T_out = T - spec.effective_kernel_size + 1
+    xt = x.transpose(0, 2, 1)  # [B, T, C] time-major (one relayout)
+    acc = None
+    for k in range(spec.kernel_size):
+        off = k * spec.dilation
+        xs = lax.slice_in_dim(xt, off, off + T_out, axis=1)
+        part = jnp.einsum("btc,oc->bto", xs, w[:, :, k],
+                          preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    y = acc.astype(w.dtype).transpose(0, 2, 1)
+    if params.bias is not None:
+        y = y + params.bias[None, :, None]
+    return y
+
+
 def conv1d_raw(x: jnp.ndarray, spec: ConvSpec, params: ConvParams) -> jnp.ndarray:
     """VALID-padding grouped/dilated conv on [B, C, T]. Weight dtype sets the
     compute dtype (mixed-precision entry point)."""

@@ -132,3 +132,31 @@ def test_streaming_convtr_matches_reference_chunked():
                         atol=1e-5,
                         err_msg=f"{spec} bias={bias}",
                     )
+
+
+def test_matmul_conv_form_matches_conv_op():
+    """The large-batch shifted-matmul conv form (nn/conv._conv1d_matmul) must
+    match lax.conv_general_dilated on the same inputs for every decoder conv
+    shape (K, dilation) — it routes automatically above MATMUL_CONV_MIN_WORK
+    rows*timesteps."""
+    import jax
+    import jax.numpy as jnp
+
+    from pocket_tts_tpu.nn.conv import (
+        ConvSpec,
+        _conv1d_matmul,
+        conv1d_raw,
+        init_conv_params,
+    )
+
+    rng = np.random.default_rng(0)
+    for K, dil, C, O in ((7, 1, 32, 48), (3, 1, 48, 32), (1, 1, 32, 32),
+                         (3, 2, 24, 24)):
+        spec = ConvSpec(in_channels=C, out_channels=O, kernel_size=K,
+                        dilation=dil)
+        params = init_conv_params(spec, jax.random.PRNGKey(K + dil))
+        x = jnp.asarray(rng.standard_normal((2, C, 64)), jnp.float32)
+        ref = conv1d_raw(x, spec, params)  # small work: conv op path
+        got = _conv1d_matmul(x, spec, params)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
