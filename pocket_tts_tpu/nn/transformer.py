@@ -316,10 +316,14 @@ def transformer_apply(
         masks = (None, None)
     elif window and T >= 128 and cfg.context is not None:
         # multi-frame windowed block: chunked attention avoids the
-        # [B, H, T, W+T] logits blow-up (see attend_windowed_chunked)
+        # [B, H, T, W+T] logits blow-up (see attend_windowed_chunked); the
+        # per-chunk masks are layer-invariant and built once here
+        from pocket_tts_tpu.nn.attention import windowed_chunk_bias
+
         flash_ctx = None
         pos_q = state.offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        wchunk_ctx = (state.pos, pos_q, cfg.context)
+        wchunk_ctx = (state.pos, pos_q, cfg.context,
+                      windowed_chunk_bias(state.pos, pos_q, cfg.context))
         masks = (None, None)
     else:
         flash_ctx = None
