@@ -153,6 +153,66 @@ def gemv(batch: int, quant: bool):
                                np.asarray(want, np.float32), rtol=2e-2, atol=2e-2)
 
 
+def decode_stack(quant: bool, C: int, L: int = 4):
+    """Fused whole-stack decode kernel vs the XLA scan, compiled on device in
+    the exact configurations the serving path routes to it (bf16 cache,
+    bf16/int8 weights, flagship geometry, C <= 1024). Checks h, the in-kernel
+    appended row, and that every other cache slot is untouched."""
+    from pocket_tts_tpu.nn.transformer import (
+        StackState,
+        TransformerConfig,
+        init_layer_params,
+        transformer_apply,
+    )
+    from pocket_tts_tpu.ops.decode_stack import (
+        decode_stack_apply,
+        pack_decode_stack,
+    )
+    from pocket_tts_tpu.quant import quantize_weight
+
+    cfg = TransformerConfig(d_model=1024, num_heads=16, num_layers=L,
+                            dim_feedforward=4096)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16),
+        init_layer_params(cfg, jax.random.PRNGKey(1)),
+    )
+    if quant:
+        for k in ("in_proj", "out_proj", "w1", "w2"):
+            params[k] = quantize_weight(params[k])
+    packed = pack_decode_stack(cfg, params)
+    assert packed is not None
+
+    rng = np.random.default_rng(0)
+    offset = C // 2
+    n_filled = offset + 5
+    pos = np.full((1, C), -1, np.int32)
+    pos[0, :n_filled] = np.arange(n_filled)
+    pos[0, 3] = -1  # dead slot
+    state = StackState(
+        k=jnp.asarray(rng.standard_normal((L, 1, C, 16, 64)) * 0.5, jnp.bfloat16),
+        v=jnp.asarray(rng.standard_normal((L, 1, C, 16, 64)) * 0.5, jnp.bfloat16),
+        pos=jnp.asarray(pos),
+        offset=jnp.asarray([offset], jnp.int32),
+        write_pos=jnp.asarray(n_filled, jnp.int32),
+    )
+    x = jnp.asarray(rng.standard_normal((1, 1, 1024)) * 0.3, jnp.bfloat16)
+    slot = n_filled
+    h_ref, st_ref = jax.jit(
+        lambda p, x, s: transformer_apply(cfg, p, x, s, unroll=True)
+    )(params, x, state)
+    h_k, st_k = decode_stack_apply(cfg, packed, x, state, interpret=False)
+    np.testing.assert_allclose(np.asarray(h_k, np.float32),
+                               np.asarray(h_ref, np.float32),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(
+        np.asarray(st_k.k[:, :, slot], np.float32),
+        np.asarray(st_ref.k[:, :, slot], np.float32), rtol=5e-2, atol=5e-2)
+    other = np.arange(C) != slot
+    assert np.array_equal(np.asarray(st_k.k[:, :, other]),
+                          np.asarray(st_ref.k[:, :, other]))
+    assert np.array_equal(np.asarray(st_k.pos), np.asarray(st_ref.pos))
+
+
 def main():
     print(f"backend: {jax.default_backend()}, device: {jax.devices()[0]}",
           flush=True)
@@ -177,6 +237,12 @@ def main():
     for b, quant in ((1, False), (1, True), (8, True)):
         check(f"gemv[b{b} {'int8' if quant else 'bf16'}]",
               lambda b=b, q=quant: gemv(b, q))
+
+    # decode-stack: the b1 production route for both weight dtypes, at a
+    # growth bucket and at the kernel's capacity limit
+    for quant, C in ((False, 256), (True, 256), (True, 512), (True, 1024)):
+        check(f"decode_stack[{'int8' if quant else 'bf16'} C{C}]",
+              lambda q=quant, C=C: decode_stack(q, C))
 
     if FAILURES:
         print(f"\n{len(FAILURES)} kernel gate(s) FAILED: {FAILURES}", flush=True)
